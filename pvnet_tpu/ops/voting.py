@@ -1,0 +1,496 @@
+"""Batched, fixed-shape RANSAC keypoint voting on TPU.
+
+This is the TPU-native redesign of the reference's CUDA voting layer
+(ref lib/ransac_voting_gpu_layer/ransac_voting_gpu.py and
+src/ransac_voting_kernel.cu). The reference runs a *per-image python loop*
+with dynamic shapes (torch.nonzero / masked_select) and a data-dependent
+while-loop RANSAC confidence stop (ref ransac_voting_gpu.py:525-576). None of
+that maps onto XLA, so the design here is:
+
+- **Fixed foreground budget** ``tn``: foreground pixels are selected with a
+  single top-k over (2*mask + uniform noise), which keeps a uniformly random
+  subset when the mask exceeds the budget — the same subsampling the
+  reference applies above its own cap (ref ransac_voting_gpu.py:536-540) —
+  and places all valid pixels at the front so hypothesis sampling can draw
+  from a contiguous prefix. Padding pixels carry zero direction vectors, so
+  the voting kernel's ``|n| < 1e-6`` guard (ref ransac_voting_kernel.cu:121)
+  excludes them from every count.
+
+- **One fused hypothesis pass** of ``hn`` hypotheses instead of
+  round-by-round early stopping: the reference's stop only saves *time* when
+  the winning inlier ratio is already high; generating the worst-case
+  hypothesis count in one batched pass is both statistically stronger and
+  faster on TPU than a sequential loop.
+
+- **Inlier counting as lane-parallel FMAs** (Pallas kernel): the cosine test
+  ``dot(h - c, n) / (|h - c||n|) > thresh`` (ref ransac_voting_kernel.cu:
+  119-125) is rewritten multiplication-only as
+  ``dot > 0  and  dot^2 > thresh^2 * |d|^2 |n|^2`` so the O(hn*vn*tn)
+  reduction never needs a sqrt or divide and never materializes the
+  [hn, vn, tn] inlier tensor the CUDA kernel writes.
+
+- **Weighted least-squares refinement** on the winner's inliers as batched
+  closed-form 2x2 solves (ref ransac_voting_gpu.py:578-595), and the
+  hypothesis spatial covariance estimate for uncertainty PnP
+  (ref ransac_voting_gpu.py:333-406).
+
+Everything is jit-compatible, batched over images and keypoints, and runs
+under vmap/pjit.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pvnet_tpu.ops.geometry import solve_2x2
+
+# Guard constants matching the CUDA kernels
+# (ref ransac_voting_kernel.cu:42,121).
+_DEGENERATE_EPS = 1e-6
+_NORM_EPS_SQ = 1e-12
+
+
+class ForegroundSample(NamedTuple):
+    """Fixed-shape foreground pixel sample of a segmentation mask."""
+    coords: jnp.ndarray   # [b, tn, 2] float32 (x, y) pixel coordinates
+    dirs: jnp.ndarray     # [b, tn, vn, 2] predicted unit-vector field
+    valid: jnp.ndarray    # [b, tn] bool; False entries never vote
+    count: jnp.ndarray    # [b] int32 number of valid entries (kept pixels)
+    total: jnp.ndarray    # [b] int32 foreground pixels before subsampling
+
+
+def sample_foreground(mask: jnp.ndarray, vertex: jnp.ndarray, tn: int,
+                      key: jax.Array) -> ForegroundSample:
+    """Select up to ``tn`` random foreground pixels with fixed output shape.
+
+    Replaces the reference's torch.nonzero + masked_select + random
+    downsample (ref ransac_voting_gpu.py:536-546) with a single top-k.
+
+    Args:
+      mask:   [b, h, w] integer/bool segmentation (nonzero = foreground).
+      vertex: [b, h, w, vn, 2] per-pixel keypoint direction field.
+      tn:     fixed pixel budget.
+      key:    PRNG key for the uniform subsample tiebreak.
+    """
+    b, h, w = mask.shape
+    vn = vertex.shape[3]
+    fg = (mask != 0)
+    flat_fg = fg.reshape(b, h * w)
+    total = jnp.sum(flat_fg, axis=1).astype(jnp.int32)
+
+    noise = jax.random.uniform(key, (b, h * w), dtype=jnp.float32)
+    score = flat_fg.astype(jnp.float32) * 2.0 + noise
+    top_scores, top_idx = jax.lax.top_k(score, tn)          # [b, tn]
+    valid = top_scores >= 2.0
+
+    xs = (top_idx % w).astype(jnp.float32)
+    ys = (top_idx // w).astype(jnp.float32)
+    coords = jnp.stack([xs, ys], axis=-1)                    # [b, tn, 2]
+
+    vertex_flat = vertex.reshape(b, h * w, vn, 2)
+    dirs = jnp.take_along_axis(vertex_flat, top_idx[:, :, None, None], axis=1)
+    dirs = dirs * valid[:, :, None, None].astype(dirs.dtype)
+
+    count = jnp.sum(valid, axis=1).astype(jnp.int32)
+    return ForegroundSample(coords, dirs, valid, count, total)
+
+
+def generate_hypotheses(fg: ForegroundSample, hn: int, key: jax.Array
+                        ) -> jnp.ndarray:
+    """Sample pixel pairs and intersect their voting rays in closed form.
+
+    Mirrors generate_hypothesis_kernel (ref ransac_voting_kernel.cu:11-49):
+    for a pair of pixels with directions d0, d1, normals n_i = (d_i.y,
+    -d_i.x) define lines n_i . (p - c_i) = 0; the intersection solves the
+    2x2 system. Degenerate (near-parallel) pairs produce the (0, 0)
+    hypothesis, exactly like the CUDA kernel's early return over an
+    at::zeros buffer (ref ransac_voting_kernel.cu:42-43, :75).
+
+    Returns:
+      [b, hn, vn, 2] hypothesis points.
+    """
+    b, tn, vn, _ = fg.dirs.shape
+    count = jnp.maximum(fg.count, 1)[:, None, None]
+    u = jax.random.uniform(key, (b, hn, vn, 2), dtype=jnp.float32)
+    idx = jnp.minimum((u * count[..., None]).astype(jnp.int32),
+                      (count - 1)[..., None])               # [b, hn, vn, 2]
+    idx0, idx1 = idx[..., 0], idx[..., 1]
+
+    def gather_pair(i):
+        c = jnp.take_along_axis(fg.coords, i.reshape(b, hn * vn)[..., None],
+                                axis=1).reshape(b, hn, vn, 2)
+        d = jnp.take_along_axis(fg.dirs, i[..., None], axis=1)
+        return c, d
+
+    c0, d0 = gather_pair(idx0)
+    c1, d1 = gather_pair(idx1)
+
+    nx0, ny0 = d0[..., 1], -d0[..., 0]
+    nx1, ny1 = d1[..., 1], -d1[..., 0]
+    r0 = nx0 * c0[..., 0] + ny0 * c0[..., 1]
+    r1 = nx1 * c1[..., 0] + ny1 * c1[..., 1]
+
+    denom_y = nx1 * ny0 - nx0 * ny1
+    denom_x = ny1 * nx0 - ny0 * nx1
+    ok = jnp.abs(denom_y) >= _DEGENERATE_EPS
+    safe_y = jnp.where(ok, denom_y, 1.0)
+    safe_x = jnp.where(ok, denom_x, 1.0)
+    y = (nx1 * r0 - nx0 * r1) / safe_y
+    x = (ny1 * r0 - ny0 * r1) / safe_x
+    hyp = jnp.stack([x, y], axis=-1)
+    return jnp.where(ok[..., None], hyp, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Inlier counting — the O(hn * vn * tn) hot loop
+# ---------------------------------------------------------------------------
+
+def _pixel_features(fg: ForegroundSample) -> jnp.ndarray:
+    """Per-(image, keypoint, pixel) features for the multiplication-only
+    inlier test. Returns [b, vn, tn, 8]:
+    (nx, ny, c.n, cx, cy, |c|^2, |n|^2, valid)."""
+    b, tn, vn, _ = fg.dirs.shape
+    nx = fg.dirs[..., 0]                                    # [b, tn, vn]
+    ny = fg.dirs[..., 1]
+    cx = fg.coords[..., 0:1]                                # [b, tn, 1]
+    cy = fg.coords[..., 1:2]
+    cn = cx * nx + cy * ny
+    c2 = jnp.broadcast_to(cx * cx + cy * cy, nx.shape)
+    n2 = nx * nx + ny * ny
+    vmask = jnp.broadcast_to(fg.valid[..., None].astype(jnp.float32),
+                             nx.shape)
+    feats = jnp.stack([nx, ny, cn,
+                       jnp.broadcast_to(cx, nx.shape),
+                       jnp.broadcast_to(cy, nx.shape),
+                       c2, n2, vmask], axis=-1)             # [b, tn, vn, 8]
+    return jnp.transpose(feats, (0, 2, 1, 3))               # [b, vn, tn, 8]
+
+
+def _hyp_features(hyps: jnp.ndarray) -> jnp.ndarray:
+    """Per-(image, keypoint, hypothesis) features. hyps [b, hn, vn, 2] ->
+    [b, vn, 4, hn]: (hx, hy, |h|^2, 1) with hn on the minor axis."""
+    hx = hyps[..., 0]
+    hy = hyps[..., 1]
+    h2 = hx * hx + hy * hy
+    ones = jnp.ones_like(hx)
+    f = jnp.stack([hx, hy, h2, ones], axis=-1)              # [b, hn, vn, 4]
+    return jnp.transpose(f, (0, 2, 3, 1))                   # [b, vn, 4, hn]
+
+
+def _inlier_terms(pix, hyp, thresh):
+    """Shared math: pix [..., 8] broadcast against hyp [..., 4] -> bool.
+
+    pix axes supply (nx, ny, cn, cx, cy, c2, n2, valid); hyp axes supply
+    (hx, hy, h2, 1). Caller arranges broadcasting shapes.
+    """
+    nx, ny, cn = pix[..., 0], pix[..., 1], pix[..., 2]
+    cx, cy, c2 = pix[..., 3], pix[..., 4], pix[..., 5]
+    n2, vmask = pix[..., 6], pix[..., 7]
+    hx, hy, h2 = hyp[..., 0], hyp[..., 1], hyp[..., 2]
+
+    dot = hx * nx + hy * ny - cn
+    d2 = h2 - 2.0 * (hx * cx + hy * cy) + c2
+    t2 = thresh * thresh
+    return ((dot > 0)
+            & (dot * dot > t2 * d2 * n2)
+            & (d2 > _NORM_EPS_SQ)
+            & (n2 > _NORM_EPS_SQ)
+            & (vmask > 0.5))
+
+
+def count_inliers_xla(fg: ForegroundSample, hyps: jnp.ndarray,
+                      thresh: float, chunk: int = 256) -> jnp.ndarray:
+    """Reference implementation in plain XLA, chunked over hypotheses.
+
+    Semantics of voting_for_hypothesis_kernel
+    (ref ransac_voting_kernel.cu:88-126). Returns counts [b, hn, vn] int32.
+    """
+    assert thresh > 0.0
+    b, hn, vn, _ = hyps.shape
+    pix = _pixel_features(fg)                               # [b, vn, tn, 8]
+
+    chunk = min(chunk, hn)
+    pad = (-hn) % chunk
+    hyps_p = jnp.pad(hyps, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    n_chunks = (hn + pad) // chunk
+    hyps_c = jnp.moveaxis(
+        hyps_p.reshape(b, n_chunks, chunk, vn, 2), 1, 0)
+
+    def body(_, hyp_chunk):                                 # [b, chunk, vn, 2]
+        hx = hyp_chunk[..., 0]
+        hy = hyp_chunk[..., 1]
+        hf = jnp.stack([hx, hy, hx * hx + hy * hy, jnp.ones_like(hx)],
+                       axis=-1)                             # [b, chunk, vn, 4]
+        inl = _inlier_terms(pix[:, None],                   # [b,1,vn,tn,8]
+                            hf[:, :, :, None, :],           # [b,c,vn,1,4]
+                            thresh)                         # [b,c,vn,tn]
+        return None, jnp.sum(inl, axis=-1).astype(jnp.int32)
+
+    _, counts = jax.lax.scan(body, None, hyps_c)            # [nc, b, chunk, vn]
+    counts = jnp.moveaxis(counts, 0, 1).reshape(b, n_chunks * chunk, vn)
+    return counts[:, :hn]
+
+
+def _count_kernel(pix_ref, hyp_ref, out_ref, *, thresh: float):
+    """Pallas TPU kernel: one (group, hn-tile, tn-tile) grid cell.
+
+    pix_ref: [1, TILE_T, 8]  pixel features (tn on sublanes)
+    hyp_ref: [1, 4, TILE_H]  hypothesis features (hn on lanes)
+    out_ref: [1, TILE_H]     float32 counts, accumulated over tn tiles
+    """
+    tn_t = pl.program_id(2)
+
+    @pl.when(tn_t == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    pix = pix_ref[0]                                        # [TILE_T, 8]
+    nx = pix[:, 0:1]
+    ny = pix[:, 1:2]
+    cn = pix[:, 2:3]
+    cx = pix[:, 3:4]
+    cy = pix[:, 4:5]
+    c2 = pix[:, 5:6]
+    n2 = pix[:, 6:7]
+    vmask = pix[:, 7:8]
+
+    hx = hyp_ref[0, 0:1, :]                                 # [1, TILE_H]
+    hy = hyp_ref[0, 1:2, :]
+    h2 = hyp_ref[0, 2:3, :]
+
+    dot = hx * nx + hy * ny - cn                            # [TILE_T, TILE_H]
+    d2 = h2 - 2.0 * (hx * cx + hy * cy) + c2
+    t2 = thresh * thresh
+    inl = ((dot > 0)
+           & (dot * dot > t2 * d2 * n2)
+           & (d2 > _NORM_EPS_SQ)
+           & (n2 > _NORM_EPS_SQ)
+           & (vmask > 0.5))
+    out_ref[...] += jnp.sum(inl.astype(jnp.float32), axis=0, keepdims=True)
+
+
+def count_inliers_pallas(fg: ForegroundSample, hyps: jnp.ndarray,
+                         thresh: float, tile_h: int = 512, tile_t: int = 256,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Pallas inlier-count kernel. Returns counts [b, hn, vn] int32.
+
+    Grid (b*vn, hn/tile_h, tn/tile_t); the [tile_t, tile_h] inlier tile
+    lives only in VMEM and is reduced on the fly — the [hn, vn, tn] uint8
+    tensor the CUDA path writes (ref ransac_voting_gpu.py:557) never exists.
+    """
+    assert thresh > 0.0
+    b, hn, vn, _ = hyps.shape
+    tn = fg.coords.shape[1]
+
+    tile_h = min(tile_h, max(128, hn))
+    tile_t = min(tile_t, max(8, tn))
+    pad_h = (-hn) % tile_h
+    pad_t = (-tn) % tile_t
+
+    pix = _pixel_features(fg)                               # [b, vn, tn, 8]
+    hyp = _hyp_features(hyps)                               # [b, vn, 4, hn]
+    if pad_t:
+        pix = jnp.pad(pix, ((0, 0), (0, 0), (0, pad_t), (0, 0)))
+    if pad_h:
+        hyp = jnp.pad(hyp, ((0, 0), (0, 0), (0, 0), (0, pad_h)))
+    g = b * vn
+    tn_p, hn_p = tn + pad_t, hn + pad_h
+    pix = pix.reshape(g, tn_p, 8)
+    hyp = hyp.reshape(g, 4, hn_p)
+
+    grid = (g, hn_p // tile_h, tn_p // tile_t)
+    counts = pl.pallas_call(
+        functools.partial(_count_kernel, thresh=float(thresh)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile_t, 8), lambda gi, hi, ti: (gi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, tile_h), lambda gi, hi, ti: (gi, 0, hi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_h), lambda gi, hi, ti: (gi, hi),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g, hn_p), jnp.float32),
+        interpret=interpret,
+    )(pix, hyp)
+
+    counts = counts.reshape(b, vn, hn_p)[:, :, :hn]
+    return jnp.transpose(counts, (0, 2, 1)).astype(jnp.int32)
+
+
+def count_inliers(fg: ForegroundSample, hyps: jnp.ndarray, thresh: float,
+                  impl: Optional[str] = None) -> jnp.ndarray:
+    """Dispatch: 'pallas' on TPU, 'xla' elsewhere (or forced)."""
+    if impl is None:
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        return count_inliers_pallas(fg, hyps, thresh)
+    if impl == "pallas_interpret":
+        return count_inliers_pallas(fg, hyps, thresh, interpret=True)
+    return count_inliers_xla(fg, hyps, thresh)
+
+
+def inliers_for_points(fg: ForegroundSample, pts: jnp.ndarray, thresh: float
+                       ) -> jnp.ndarray:
+    """Inlier mask of every pixel w.r.t. one point per keypoint.
+
+    The reference re-runs the voting kernel with hn=1 on the winner
+    (ref ransac_voting_gpu.py:582-584). pts: [b, vn, 2] -> bool [b, vn, tn].
+    """
+    pix = _pixel_features(fg)                               # [b, vn, tn, 8]
+    hx = pts[..., 0]
+    hy = pts[..., 1]
+    hf = jnp.stack([hx, hy, hx * hx + hy * hy, jnp.ones_like(hx)],
+                   axis=-1)                                 # [b, vn, 4]
+    return _inlier_terms(pix, hf[:, :, None, :], thresh)    # [b, vn, tn]
+
+
+# ---------------------------------------------------------------------------
+# Full voting layers
+# ---------------------------------------------------------------------------
+
+def _wls_refine(fg: ForegroundSample, win_pts: jnp.ndarray, thresh: float
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Weighted least-squares ray intersection over the winner's inliers.
+
+    With inlier normals N (rows n_t = (d_t.y, -d_t.x)) and pixels c_t, solve
+    argmin_p sum_t (n_t . p - n_t . c_t)^2 via the normal equations
+    (N^T N) p = N^T b (ref ransac_voting_gpu.py:578-595). Singular systems
+    (< 2 independent inlier rays) keep the RANSAC winner instead of the
+    reference's unguarded solve.
+
+    Returns (refined [b, vn, 2], inlier mask [b, vn, tn]).
+    """
+    inl = inliers_for_points(fg, win_pts, thresh)           # [b, vn, tn]
+    w = inl.astype(jnp.float32)
+
+    normal = jnp.stack([fg.dirs[..., 1], -fg.dirs[..., 0]], axis=-1)
+    normal = jnp.transpose(normal, (0, 2, 1, 3))            # [b, vn, tn, 2]
+    nm = normal * w[..., None]
+
+    bscal = jnp.sum(nm * fg.coords[:, None, :, :], axis=-1)  # [b, vn, tn]
+    ata = jnp.einsum("bvti,bvtj->bvij", nm, nm)
+    atb = jnp.sum(nm * bscal[..., None], axis=2)             # [b, vn, 2]
+
+    det = ata[..., 0, 0] * ata[..., 1, 1] - ata[..., 0, 1] * ata[..., 1, 0]
+    sol = solve_2x2(ata, atb)
+    refined = jnp.where((jnp.abs(det) > 1e-8)[..., None], sol, win_pts)
+    return refined, inl
+
+
+def ransac_voting_v3(mask: jnp.ndarray, vertex: jnp.ndarray, key: jax.Array,
+                     hyp_num: int = 1024, inlier_thresh: float = 0.99,
+                     max_num: int = 1024, min_num: int = 5,
+                     impl: Optional[str] = None) -> jnp.ndarray:
+    """Production inference voting (ref ransac_voting_gpu.py:514-598).
+
+    Args:
+      mask:   [b, h, w] predicted segmentation (nonzero = object).
+      vertex: [b, h, w, vn, 2] predicted direction field.
+      key:    PRNG key.
+      hyp_num: total hypotheses (the reference generates round_hyp_num=128
+        per round for up to 21 rounds; one fused pass replaces the loop).
+      inlier_thresh: cosine threshold (production eval uses 0.99,
+        ref train_linemod.py:104-106).
+      max_num: fixed foreground budget (reference eval path uses 100).
+      min_num: below this foreground count the output is zeros.
+
+    Returns:
+      [b, vn, 2] voted keypoint locations.
+    """
+    k1, k2 = jax.random.split(key)
+    fg = sample_foreground(mask, vertex, max_num, k1)
+    hyps = generate_hypotheses(fg, hyp_num, k2)
+    counts = count_inliers(fg, hyps, inlier_thresh, impl=impl)  # [b, hn, vn]
+
+    win_idx = jnp.argmax(counts, axis=1)                    # [b, vn]
+    win_pts = jnp.take_along_axis(
+        hyps, win_idx[:, None, :, None], axis=1)[:, 0]      # [b, vn, 2]
+
+    refined, _ = _wls_refine(fg, win_pts, inlier_thresh)
+    ok = (fg.total >= min_num)[:, None, None]
+    return jnp.where(ok, refined, 0.0)
+
+
+def ransac_voting_v5(mask: jnp.ndarray, vertex: jnp.ndarray, key: jax.Array,
+                     hyp_num: int = 1024, inlier_thresh: float = 0.99,
+                     max_num: int = 1024, min_num: int = 5,
+                     conf_thresh: float = 0.999,
+                     impl: Optional[str] = None
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """v3 plus a per-keypoint inlier-ratio confidence
+    (ref ransac_voting_gpu.py:763-858; confidence vote at :848-850 uses a
+    0.999 threshold regardless of ``inlier_thresh``).
+
+    Returns:
+      ([b, vn, 2] keypoints, [b, vn] confidence in [0, 1]).
+    """
+    k1, k2 = jax.random.split(key)
+    fg = sample_foreground(mask, vertex, max_num, k1)
+    hyps = generate_hypotheses(fg, hyp_num, k2)
+    counts = count_inliers(fg, hyps, inlier_thresh, impl=impl)
+
+    win_idx = jnp.argmax(counts, axis=1)
+    win_pts = jnp.take_along_axis(
+        hyps, win_idx[:, None, :, None], axis=1)[:, 0]
+
+    refined, _ = _wls_refine(fg, win_pts, inlier_thresh)
+
+    conf_inl = inliers_for_points(fg, refined, conf_thresh)
+    denom = jnp.maximum(fg.count, 1).astype(jnp.float32)[:, None]
+    conf = jnp.sum(conf_inl, axis=-1).astype(jnp.float32) / denom
+
+    ok = (fg.total >= min_num)[:, None]
+    refined = jnp.where(ok[..., None], refined, 0.0)
+    conf = jnp.where(ok, conf, 0.0)
+    return refined, conf
+
+
+def estimate_voting_distribution_with_mean(
+        mask: jnp.ndarray, vertex: jnp.ndarray, mean: jnp.ndarray,
+        key: jax.Array, hyp_num: int = 4096, inlier_thresh: float = 0.99,
+        max_num: int = 1024, min_num: int = 5,
+        impl: Optional[str] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Spatial covariance of the hypothesis distribution about a given mean.
+
+    Mirrors ref ransac_voting_gpu.py:333-406: generate >= 4096 hypotheses,
+    weight each by its inlier ratio, zero weights below (max_ratio - 0.1),
+    and accumulate the weighted 2x2 scatter about ``mean``.
+
+    Returns:
+      (mean [b, vn, 2] passed through, cov [b, vn, 2, 2]).
+    """
+    k1, k2 = jax.random.split(key)
+    fg = sample_foreground(mask, vertex, max_num, k1)
+    hyps = generate_hypotheses(fg, hyp_num, k2)             # [b, hn, vn, 2]
+    counts = count_inliers(fg, hyps, inlier_thresh, impl=impl)
+
+    denom = jnp.maximum(fg.count, 1).astype(jnp.float32)[:, None, None]
+    ratio = counts.astype(jnp.float32) / denom              # [b, hn, vn]
+    thresh = jnp.max(ratio, axis=1, keepdims=True) - 0.1
+    w = jnp.where(ratio < thresh, 0.0, ratio)               # [b, hn, vn]
+
+    diff = hyps - mean[:, None, :, :]                       # [b, hn, vn, 2]
+    wdiff = diff * w[..., None]
+    cov = jnp.einsum("bhvi,bhvj->bvij", diff, wdiff)
+    cov = cov / (jnp.sum(w, axis=1)[..., None, None] + 1e-3)
+    return mean, cov
+
+
+def ransac_motion_voting(mask: jnp.ndarray, vertex: jnp.ndarray,
+                         key: jax.Array, max_num: int = 4096) -> jnp.ndarray:
+    """Offset-field voting without RANSAC: mean of (pixel + offset) over the
+    foreground (ref ransac_voting_gpu.py:960-981, used when the vertex field
+    stores pixel offsets rather than unit directions).
+    """
+    fg = sample_foreground(mask, vertex, max_num, key)
+    pts = fg.dirs + fg.coords[:, :, None, :]                # [b, tn, vn, 2]
+    w = fg.valid[:, :, None, None].astype(jnp.float32)
+    denom = jnp.maximum(fg.count, 1).astype(jnp.float32)[:, None, None]
+    mean = jnp.sum(pts * w, axis=1) / denom
+    return jnp.where((fg.total >= 1)[:, None, None], mean, 0.0)

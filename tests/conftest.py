@@ -1,0 +1,26 @@
+"""Test config: force an 8-device virtual CPU platform before JAX starts.
+
+Multi-chip shardings are validated on this virtual mesh (the real TPU is a
+single chip in CI); numeric kernels run in XLA-CPU / Pallas interpret mode.
+"""
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+if os.environ.get("PVNET_TEST_TPU", "0") != "1":
+    # The env-var route (JAX_PLATFORMS) is overridden by the axon TPU plugin
+    # in this image; the config API wins.
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)

@@ -1,0 +1,241 @@
+"""Voting layer tests on synthetic vertex fields with known keypoints.
+
+Fixture strategy mirrors the reference's own de-facto tests (its
+ransac_voting_gpu.py __main__ block eyeballs voted vs GT corners): build a
+mask + unit-vector field pointing exactly (or noisily) at known keypoints
+and check the layer recovers them.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pvnet_tpu.ops import voting
+
+
+def make_field(h, w, keypoints, mask_box, noise=0.0, rng=None,
+               outlier_frac=0.0):
+    """mask [h,w], vertex [h,w,vn,2] with unit vectors pixel->keypoint."""
+    vn = keypoints.shape[0]
+    mask = np.zeros((h, w), np.int32)
+    y0, y1, x0, x1 = mask_box
+    mask[y0:y1, x0:x1] = 1
+    ys, xs = np.nonzero(mask)
+    pix = np.stack([xs, ys], axis=-1).astype(np.float32)    # [t, 2]
+    vec = keypoints[None, :, :] - pix[:, None, :]           # [t, vn, 2]
+    norm = np.linalg.norm(vec, axis=-1, keepdims=True)
+    norm[norm < 1e-3] += 1e-3
+    vec = vec / norm
+    if noise > 0:
+        ang = rng.randn(*vec.shape[:-1]) * noise
+        ca, sa = np.cos(ang), np.sin(ang)
+        vec = np.stack([ca * vec[..., 0] - sa * vec[..., 1],
+                        sa * vec[..., 0] + ca * vec[..., 1]], axis=-1)
+    if outlier_frac > 0:
+        bad = rng.rand(vec.shape[0]) < outlier_frac
+        rand_dir = rng.randn(bad.sum(), vn, 2)
+        rand_dir /= np.linalg.norm(rand_dir, axis=-1, keepdims=True)
+        vec[bad] = rand_dir
+    vertex = np.zeros((h, w, vn, 2), np.float32)
+    vertex[ys, xs] = vec
+    return mask, vertex
+
+
+KPTS = np.array([[50.0, 30.0], [10.0, 90.0], [100.0, 70.0]], np.float32)
+BOX = (40, 80, 30, 90)  # y0,y1,x0,x1
+
+
+class TestSampleForeground:
+    def test_shapes_and_counts(self):
+        mask, vertex = make_field(128, 128, KPTS, BOX)
+        fg = voting.sample_foreground(jnp.asarray(mask)[None],
+                                      jnp.asarray(vertex)[None], 512,
+                                      jax.random.PRNGKey(0))
+        assert fg.coords.shape == (1, 512, 2)
+        assert fg.dirs.shape == (1, 512, 3, 2)
+        n_fg = (BOX[1] - BOX[0]) * (BOX[3] - BOX[2])
+        assert int(fg.total[0]) == n_fg
+        assert int(fg.count[0]) == min(512, n_fg)
+        # all valid coords must be inside the box
+        c = np.asarray(fg.coords[0])[np.asarray(fg.valid[0])]
+        assert (c[:, 0] >= BOX[2]).all() and (c[:, 0] < BOX[3]).all()
+        assert (c[:, 1] >= BOX[0]).all() and (c[:, 1] < BOX[1]).all()
+
+    def test_padding_dirs_zero(self):
+        mask, vertex = make_field(64, 64, KPTS, (10, 14, 10, 14))
+        fg = voting.sample_foreground(jnp.asarray(mask)[None],
+                                      jnp.asarray(vertex)[None], 64,
+                                      jax.random.PRNGKey(1))
+        d = np.asarray(fg.dirs[0])
+        v = np.asarray(fg.valid[0])
+        assert int(fg.count[0]) == 16
+        np.testing.assert_allclose(d[~v], 0.0)
+
+
+class TestCountParity:
+    def _random_inputs(self, rng, b=2, tn=96, vn=3, hn=160):
+        coords = rng.uniform(0, 100, (b, tn, 2)).astype(np.float32)
+        dirs = rng.randn(b, tn, vn, 2).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        valid = rng.rand(b, tn) < 0.8
+        dirs = dirs * valid[..., None, None]
+        count = valid.sum(1).astype(np.int32)
+        fg = voting.ForegroundSample(
+            jnp.asarray(coords), jnp.asarray(dirs), jnp.asarray(valid),
+            jnp.asarray(count), jnp.asarray(count))
+        hyps = rng.uniform(-20, 120, (b, hn, vn, 2)).astype(np.float32)
+        return fg, jnp.asarray(hyps)
+
+    def _brute_force(self, fg, hyps, thresh):
+        """Direct transcription of the CUDA voting kernel semantics."""
+        coords = np.asarray(fg.coords)
+        dirs = np.asarray(fg.dirs)
+        hy = np.asarray(hyps)
+        b, hn, vn, _ = hy.shape
+        tn = coords.shape[1]
+        counts = np.zeros((b, hn, vn), np.int32)
+        for bi in range(b):
+            for hi in range(hn):
+                for vi in range(vn):
+                    h = hy[bi, hi, vi]
+                    for ti in range(tn):
+                        n = dirs[bi, ti, vi]
+                        d = h - coords[bi, ti]
+                        n1 = np.sqrt((n ** 2).sum())
+                        n2 = np.sqrt((d ** 2).sum())
+                        if n1 < 1e-6 or n2 < 1e-6:
+                            continue
+                        if (d @ n) / (n1 * n2) > thresh:
+                            counts[bi, hi, vi] += 1
+        return counts
+
+    def test_xla_matches_bruteforce(self, rng):
+        fg, hyps = self._random_inputs(rng, b=1, tn=40, vn=2, hn=24)
+        got = np.asarray(voting.count_inliers_xla(fg, hyps, 0.9))
+        expect = self._brute_force(fg, hyps, 0.9)
+        np.testing.assert_array_equal(got, expect)
+
+    def test_pallas_interpret_matches_xla(self, rng):
+        fg, hyps = self._random_inputs(rng)
+        ref = np.asarray(voting.count_inliers_xla(fg, hyps, 0.99))
+        got = np.asarray(voting.count_inliers_pallas(
+            fg, hyps, 0.99, tile_h=128, tile_t=32, interpret=True))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_pallas_interpret_nondivisible_tiles(self, rng):
+        fg, hyps = self._random_inputs(rng, tn=100, hn=130)
+        ref = np.asarray(voting.count_inliers_xla(fg, hyps, 0.95))
+        got = np.asarray(voting.count_inliers_pallas(
+            fg, hyps, 0.95, tile_h=128, tile_t=32, interpret=True))
+        np.testing.assert_array_equal(got, ref)
+
+
+class TestVotingV3:
+    def test_recovers_exact_keypoints(self):
+        mask, vertex = make_field(128, 128, KPTS, BOX)
+        pts = voting.ransac_voting_v3(
+            jnp.asarray(mask)[None], jnp.asarray(vertex)[None],
+            jax.random.PRNGKey(0), hyp_num=256, max_num=256, impl="xla")
+        np.testing.assert_allclose(np.asarray(pts[0]), KPTS, atol=0.5)
+
+    def test_robust_to_outliers(self, rng):
+        mask, vertex = make_field(128, 128, KPTS, BOX, noise=0.01, rng=rng,
+                                  outlier_frac=0.3)
+        pts = voting.ransac_voting_v3(
+            jnp.asarray(mask)[None], jnp.asarray(vertex)[None],
+            jax.random.PRNGKey(0), hyp_num=512, max_num=512, impl="xla")
+        np.testing.assert_allclose(np.asarray(pts[0]), KPTS, atol=2.0)
+
+    def test_empty_mask_outputs_zero(self):
+        mask = np.zeros((64, 64), np.int32)
+        vertex = np.zeros((64, 64, 3, 2), np.float32)
+        pts = voting.ransac_voting_v3(
+            jnp.asarray(mask)[None], jnp.asarray(vertex)[None],
+            jax.random.PRNGKey(0), hyp_num=64, max_num=64, impl="xla")
+        np.testing.assert_allclose(np.asarray(pts), 0.0)
+
+    def test_batch_mixed(self, rng):
+        mask1, vertex1 = make_field(96, 96, KPTS, (30, 60, 20, 70))
+        mask0 = np.zeros_like(mask1)
+        vertex0 = np.zeros_like(vertex1)
+        masks = jnp.asarray(np.stack([mask0, mask1]))
+        verts = jnp.asarray(np.stack([vertex0, vertex1]))
+        pts = voting.ransac_voting_v3(masks, verts, jax.random.PRNGKey(3),
+                                      hyp_num=256, max_num=256, impl="xla")
+        np.testing.assert_allclose(np.asarray(pts[0]), 0.0)
+        np.testing.assert_allclose(np.asarray(pts[1]), KPTS, atol=0.5)
+
+    def test_jit_compiles(self):
+        mask, vertex = make_field(64, 64, KPTS, (20, 40, 20, 40))
+        f = jax.jit(lambda m, v, k: voting.ransac_voting_v3(
+            m, v, k, hyp_num=128, max_num=128, impl="xla"))
+        pts = f(jnp.asarray(mask)[None], jnp.asarray(vertex)[None],
+                jax.random.PRNGKey(0))
+        np.testing.assert_allclose(np.asarray(pts[0]), KPTS, atol=1.0)
+
+
+class TestVotingV5:
+    def test_confidence_high_for_clean_field(self):
+        mask, vertex = make_field(128, 128, KPTS, BOX)
+        pts, conf = voting.ransac_voting_v5(
+            jnp.asarray(mask)[None], jnp.asarray(vertex)[None],
+            jax.random.PRNGKey(0), hyp_num=256, max_num=256, impl="xla")
+        np.testing.assert_allclose(np.asarray(pts[0]), KPTS, atol=0.5)
+        assert (np.asarray(conf[0]) > 0.9).all()
+
+    def test_confidence_lower_for_noisy_field(self, rng):
+        mask, vertex = make_field(128, 128, KPTS, BOX, noise=0.15, rng=rng)
+        _, conf_noisy = voting.ransac_voting_v5(
+            jnp.asarray(mask)[None], jnp.asarray(vertex)[None],
+            jax.random.PRNGKey(0), hyp_num=256, max_num=256, impl="xla")
+        mask_c, vertex_c = make_field(128, 128, KPTS, BOX)
+        _, conf_clean = voting.ransac_voting_v5(
+            jnp.asarray(mask_c)[None], jnp.asarray(vertex_c)[None],
+            jax.random.PRNGKey(0), hyp_num=256, max_num=256, impl="xla")
+        assert np.asarray(conf_noisy).mean() < np.asarray(conf_clean).mean()
+
+
+class TestDistribution:
+    def test_cov_scales_with_noise(self, rng):
+        key = jax.random.PRNGKey(0)
+        covs = []
+        for noise in (0.01, 0.1):
+            mask, vertex = make_field(128, 128, KPTS, BOX, noise=noise,
+                                      rng=rng)
+            m, v = jnp.asarray(mask)[None], jnp.asarray(vertex)[None]
+            mean = voting.ransac_voting_v3(m, v, key, hyp_num=256,
+                                           max_num=512, impl="xla")
+            _, cov = voting.estimate_voting_distribution_with_mean(
+                m, v, mean, key, hyp_num=512, max_num=512, impl="xla")
+            covs.append(np.trace(np.asarray(cov[0]), axis1=-2, axis2=-1))
+        assert covs[1].mean() > covs[0].mean()
+
+    def test_cov_symmetric_psd(self, rng):
+        mask, vertex = make_field(96, 96, KPTS, (30, 60, 20, 70),
+                                  noise=0.05, rng=rng)
+        m, v = jnp.asarray(mask)[None], jnp.asarray(vertex)[None]
+        key = jax.random.PRNGKey(1)
+        mean = voting.ransac_voting_v3(m, v, key, hyp_num=256, max_num=256,
+                                       impl="xla")
+        _, cov = voting.estimate_voting_distribution_with_mean(
+            m, v, mean, key, hyp_num=512, max_num=256, impl="xla")
+        cov = np.asarray(cov[0])
+        np.testing.assert_allclose(cov, np.transpose(cov, (0, 2, 1)),
+                                   atol=1e-4)
+        eig = np.linalg.eigvalsh(cov)
+        assert (eig > -1e-3).all()
+
+
+class TestMotionVoting:
+    def test_mean_of_offsets(self):
+        h = w = 32
+        mask = np.zeros((h, w), np.int32)
+        mask[8:16, 8:16] = 1
+        target = np.array([[20.0, 22.0]], np.float32)
+        ys, xs = np.nonzero(mask)
+        vertex = np.zeros((h, w, 1, 2), np.float32)
+        vertex[ys, xs, 0] = target[0] - np.stack([xs, ys], -1)
+        pts = voting.ransac_motion_voting(
+            jnp.asarray(mask)[None], jnp.asarray(vertex)[None],
+            jax.random.PRNGKey(0), max_num=256)
+        np.testing.assert_allclose(np.asarray(pts[0]), target, atol=1e-3)
