@@ -1,0 +1,166 @@
+"""PVNet: fully-convolutional seg + vector-field network in Flax.
+
+TPU-native redesign of the reference's ``Resnet18_8s`` family
+(ref lib/networks/model_repository.py:7-80): a dilated ResNet backbone at
+output stride 8, a 3x3-conv "fc" head, and a skip-connected decoder that
+upsamples 8s -> 4s -> 2s -> full resolution, finally emitting
+``seg_dim + ver_dim`` channels split into segmentation logits and per-pixel
+keypoint direction vectors.
+
+The reference's ``nn.UpsamplingBilinear2d`` uses align_corners=True
+(torch semantics); jax.image.resize uses half-pixel sampling, so upsampling
+here is implemented as two tiny interpolation matmuls with align-corners
+weights — which also happens to be the most MXU-friendly formulation.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from pvnet_tpu.models.resnet import (BasicBlock, Bottleneck, ResNetBackbone,
+                                     he_fanout_normal)
+
+
+def _align_corners_matrix(out_size: int, in_size: int) -> np.ndarray:
+    """[out, in] bilinear interpolation matrix with align_corners=True."""
+    A = np.zeros((out_size, in_size), np.float32)
+    if out_size == 1 or in_size == 1:
+        A[:, 0] = 1.0
+        return A
+    pos = np.arange(out_size) * (in_size - 1) / (out_size - 1)
+    lo = np.floor(pos).astype(np.int64)
+    lo = np.minimum(lo, in_size - 2)
+    w = (pos - lo).astype(np.float32)
+    A[np.arange(out_size), lo] = 1.0 - w
+    A[np.arange(out_size), lo + 1] += w
+    return A
+
+
+def upsample_bilinear_align_corners(x: jnp.ndarray, out_h: int, out_w: int
+                                    ) -> jnp.ndarray:
+    """NHWC bilinear resize matching torch UpsamplingBilinear2d
+    (align_corners=True), expressed as two interpolation matmuls."""
+    b, h, w, c = x.shape
+    Ah = jnp.asarray(_align_corners_matrix(out_h, h), x.dtype)
+    Aw = jnp.asarray(_align_corners_matrix(out_w, w), x.dtype)
+    y = jnp.einsum("oh,bhwc->bowc", Ah, x)
+    return jnp.einsum("pw,bowc->bopc", Aw, y)
+
+
+class PVNet(nn.Module):
+    """FCN emitting segmentation logits + keypoint vector field.
+
+    Attributes mirror the reference ctor (ref model_repository.py:8):
+      ver_dim: vector-field channels (2 * keypoint count).
+      seg_dim: segmentation classes (2 for single-object).
+      fcdim/s8dim/s4dim/s2dim/raw_dim: decoder widths.
+    """
+    ver_dim: int
+    seg_dim: int = 2
+    block: Any = BasicBlock
+    stage_sizes: Tuple[int, ...] = (2, 2, 2, 2)
+    fcdim: int = 256
+    s8dim: int = 128
+    s4dim: int = 64
+    s2dim: int = 32
+    raw_dim: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        """x: [b, h, w, 3] normalized image (NHWC).
+
+        Returns:
+          seg_pred: [b, h, w, seg_dim] float32 logits.
+          ver_pred: [b, h, w, ver_dim] float32 vector field.
+        """
+        b, h, w, _ = x.shape
+        x_in = x.astype(self.dtype)
+
+        backbone = ResNetBackbone(block=self.block,
+                                  stage_sizes=self.stage_sizes,
+                                  output_stride=8, dtype=self.dtype)
+        x2s, x4s, x8s, x16s, x32s = backbone(x_in, train=train)
+
+        conv = partial(nn.Conv, dtype=self.dtype,
+                       kernel_init=he_fanout_normal())
+        norm = partial(nn.BatchNorm, use_running_average=not train,
+                       momentum=0.9, epsilon=1e-5, dtype=self.dtype)
+        lrelu = partial(nn.leaky_relu, negative_slope=0.1)
+
+        # fc head (ref model_repository.py:22-26)
+        xfc = conv(self.fcdim, (3, 3), padding=[(1, 1)] * 2,
+                   use_bias=False)(x32s)
+        xfc = nn.relu(norm()(xfc))
+
+        # 8s -> 4s (ref :30-35)
+        fm = conv(self.s8dim, (3, 3), padding=[(1, 1)] * 2, use_bias=False)(
+            jnp.concatenate([xfc, x8s], axis=-1))
+        fm = lrelu(norm()(fm))
+        fm = upsample_bilinear_align_corners(fm, x4s.shape[1], x4s.shape[2])
+
+        # 4s -> 2s (ref :38-43)
+        fm = conv(self.s4dim, (3, 3), padding=[(1, 1)] * 2, use_bias=False)(
+            jnp.concatenate([fm, x4s], axis=-1))
+        fm = lrelu(norm()(fm))
+        fm = upsample_bilinear_align_corners(fm, x2s.shape[1], x2s.shape[2])
+
+        # 2s -> raw (ref :46-51)
+        fm = conv(self.s2dim, (3, 3), padding=[(1, 1)] * 2, use_bias=False)(
+            jnp.concatenate([fm, x2s], axis=-1))
+        fm = lrelu(norm()(fm))
+        fm = upsample_bilinear_align_corners(fm, h, w)
+
+        # raw head (ref :53-58)
+        out = conv(self.raw_dim, (3, 3), padding=[(1, 1)] * 2,
+                   use_bias=False)(jnp.concatenate([fm, x_in], axis=-1))
+        out = lrelu(norm()(out))
+        out = nn.Conv(self.seg_dim + self.ver_dim, (1, 1), dtype=self.dtype,
+                      kernel_init=he_fanout_normal())(out)
+
+        out = out.astype(jnp.float32)
+        seg_pred = out[..., :self.seg_dim]
+        ver_pred = out[..., self.seg_dim:]
+        return seg_pred, ver_pred
+
+
+def pvnet_resnet18(ver_dim: int, seg_dim: int = 2, **kw) -> PVNet:
+    """Resnet18_8s equivalent — THE production model
+    (ref model_repository.py:7-80, train_linemod.py:256)."""
+    return PVNet(ver_dim=ver_dim, seg_dim=seg_dim, block=BasicBlock,
+                 stage_sizes=(2, 2, 2, 2), **kw)
+
+
+def pvnet_resnet34(ver_dim: int, seg_dim: int = 2, **kw) -> PVNet:
+    """Resnet34_8s equivalent (ref model_repository.py:226-300)."""
+    return PVNet(ver_dim=ver_dim, seg_dim=seg_dim, block=BasicBlock,
+                 stage_sizes=(3, 4, 6, 3), **kw)
+
+
+def pvnet_resnet50(ver_dim: int, seg_dim: int = 2, **kw) -> PVNet:
+    """Resnet50_8s equivalent (ref model_repository.py:82-156)."""
+    kw.setdefault("fcdim", 384)
+    kw.setdefault("s8dim", 256)
+    kw.setdefault("s4dim", 128)
+    kw.setdefault("s2dim", 64)
+    kw.setdefault("raw_dim", 64)
+    return PVNet(ver_dim=ver_dim, seg_dim=seg_dim, block=Bottleneck,
+                 stage_sizes=(3, 4, 6, 3), **kw)
+
+
+def build_model(network: str, ver_dim: int, seg_dim: int = 2, **kw) -> PVNet:
+    """Factory keyed by the recipe's ``network`` field
+    (ref configs/linemod_train.json: "resnet18_8s")."""
+    factories = {
+        "resnet18_8s": pvnet_resnet18,
+        "resnet34_8s": pvnet_resnet34,
+        "resnet50_8s": pvnet_resnet50,
+    }
+    if network not in factories:
+        raise ValueError(f"unknown network '{network}'; "
+                         f"expected one of {sorted(factories)}")
+    return factories[network](ver_dim, seg_dim, **kw)

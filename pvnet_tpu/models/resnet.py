@@ -1,0 +1,158 @@
+"""Dilated ResNet backbones in Flax (NHWC, TPU-native).
+
+Re-implements the reference's torchvision-derived dilated ResNet
+(ref lib/networks/resnet.py) with the same output-stride machinery: strides
+convert to dilations once the requested output stride is reached
+(ref resnet.py:167-198), 3x3 convs pad by their dilation
+(ref resnet.py:21-38), and the forward pass returns every intermediate
+feature map for decoder skip connections (ref resnet.py:200-220).
+
+Differences from the reference are deliberate TPU choices, not omissions:
+- NHWC layout (TPU conv layout) instead of NCHW.
+- He fan-out normal init for convs, matching the reference's
+  ``normal_(0, sqrt(2/n))`` with n = k*k*out_channels (ref resnet.py:159-162).
+- BatchNorm via flax.linen.BatchNorm (eps 1e-5, momentum 0.9 == torch 0.1),
+  with batch statistics computed over the *global* (sharded) batch under
+  pjit — a strict upgrade over DataParallel's per-replica stats.
+- Optional bfloat16 compute with float32 params/statistics.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+ModuleDef = Any
+
+
+def he_fanout_normal():
+    return nn.initializers.variance_scaling(2.0, "fan_out",
+                                            "truncated_normal")
+
+
+class BasicBlock(nn.Module):
+    """Two 3x3 convs + identity shortcut (ref resnet.py:41-70)."""
+    filters: int
+    strides: int = 1
+    dilation: int = 1
+    conv: ModuleDef = nn.Conv
+    norm: ModuleDef = nn.BatchNorm
+    expansion: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        pad = self.dilation
+        y = self.conv(self.filters, (3, 3), strides=(self.strides,) * 2,
+                      padding=[(pad, pad)] * 2,
+                      kernel_dilation=(self.dilation,) * 2, use_bias=False,
+                      kernel_init=he_fanout_normal())(x)
+        y = self.norm()(y)
+        y = nn.relu(y)
+        y = self.conv(self.filters, (3, 3), padding=[(pad, pad)] * 2,
+                      kernel_dilation=(self.dilation,) * 2, use_bias=False,
+                      kernel_init=he_fanout_normal())(y)
+        y = self.norm()(y)
+
+        if residual.shape != y.shape:
+            residual = self.conv(self.filters, (1, 1),
+                                 strides=(self.strides,) * 2, use_bias=False,
+                                 kernel_init=he_fanout_normal())(residual)
+            residual = self.norm()(residual)
+        return nn.relu(y + residual)
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3 -> 1x1 bottleneck (ref resnet.py:73-113)."""
+    filters: int
+    strides: int = 1
+    dilation: int = 1
+    conv: ModuleDef = nn.Conv
+    norm: ModuleDef = nn.BatchNorm
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        pad = self.dilation
+        y = self.conv(self.filters, (1, 1), use_bias=False,
+                      kernel_init=he_fanout_normal())(x)
+        y = self.norm()(y)
+        y = nn.relu(y)
+        y = self.conv(self.filters, (3, 3), strides=(self.strides,) * 2,
+                      padding=[(pad, pad)] * 2,
+                      kernel_dilation=(self.dilation,) * 2, use_bias=False,
+                      kernel_init=he_fanout_normal())(y)
+        y = self.norm()(y)
+        y = nn.relu(y)
+        y = self.conv(self.filters * 4, (1, 1), use_bias=False,
+                      kernel_init=he_fanout_normal())(y)
+        y = self.norm()(y)
+
+        if residual.shape != y.shape:
+            residual = self.conv(self.filters * 4, (1, 1),
+                                 strides=(self.strides,) * 2, use_bias=False,
+                                 kernel_init=he_fanout_normal())(residual)
+            residual = self.norm()(residual)
+        return nn.relu(y + residual)
+
+
+class ResNetBackbone(nn.Module):
+    """Dilated ResNet trunk returning all skip features.
+
+    __call__(x) -> (x2s, x4s, x8s, x16s, x32s): feature maps at strides
+    2/4/8/8/8 for output_stride=8 (ref resnet.py:200-220; the reference's
+    xfc head lives in the PVNet decoder here).
+    """
+    block: ModuleDef = BasicBlock
+    stage_sizes: Sequence[int] = (2, 2, 2, 2)
+    output_stride: int = 8
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        conv = partial(nn.Conv, dtype=self.dtype)
+        norm = partial(nn.BatchNorm, use_running_average=not train,
+                       momentum=0.9, epsilon=1e-5, dtype=self.dtype)
+
+        x = conv(64, (7, 7), strides=(2, 2), padding=[(3, 3)] * 2,
+                 use_bias=False, kernel_init=he_fanout_normal())(x)
+        x = norm()(x)
+        x2s = nn.relu(x)
+        x = nn.max_pool(x2s, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
+
+        # Stride/dilation schedule (ref resnet.py:167-198): current_stride
+        # starts at 4 (conv1 + maxpool); each stage's stride becomes a
+        # dilation multiplier once output_stride is reached.
+        current_stride = 4
+        dilation = 1
+        feats = []
+        for stage, (n_blocks, filters, stride) in enumerate(
+                zip(self.stage_sizes, (64, 128, 256, 512), (1, 2, 2, 2))):
+            if stride != 1:
+                if current_stride == self.output_stride:
+                    dilation *= stride
+                    stride = 1
+                else:
+                    current_stride *= stride
+            for i in range(n_blocks):
+                x = self.block(filters, strides=stride if i == 0 else 1,
+                               dilation=dilation, conv=conv, norm=norm)(x)
+            feats.append(x)
+
+        x4s, x8s, x16s, x32s = feats
+        return x2s, x4s, x8s, x16s, x32s
+
+
+def resnet18_backbone(**kw) -> ResNetBackbone:
+    return ResNetBackbone(block=BasicBlock, stage_sizes=(2, 2, 2, 2), **kw)
+
+
+def resnet34_backbone(**kw) -> ResNetBackbone:
+    return ResNetBackbone(block=BasicBlock, stage_sizes=(3, 4, 6, 3), **kw)
+
+
+def resnet50_backbone(**kw) -> ResNetBackbone:
+    return ResNetBackbone(block=Bottleneck, stage_sizes=(3, 4, 6, 3), **kw)
