@@ -1,0 +1,53 @@
+"""Mesh construction and sharding utilities.
+
+Default topology is a single ``data`` axis over every addressable device —
+PVNet is a ~15M-param CNN, so data parallelism saturates any slice; the axis
+layout is kept extensible (``axis_names``) so model axes can be added without
+touching call sites.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(shape: Optional[Tuple[int, ...]] = None,
+              axis_names: Sequence[str] = ("data",),
+              devices=None) -> Mesh:
+    """Build a device mesh.
+
+    Args:
+      shape: mesh shape; None means all devices on the first axis.
+      axis_names: one name per mesh dim; default 1-axis ('data',).
+      devices: explicit device list (defaults to jax.devices()).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if shape is None:
+        shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, axis_names=tuple(axis_names))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Sharding for batch-major arrays: dim 0 split over the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    """Fully replicated sharding (params, small constants)."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Device-put a host batch pytree, dim-0-sharded over the mesh."""
+    s = batch_sharding(mesh, axis)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Device-put a pytree fully replicated over the mesh."""
+    s = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)

@@ -1,0 +1,141 @@
+"""Data-parallel training step, optimizer and LR schedule.
+
+Replaces the reference's torch training loop machinery
+(ref tools/train_linemod.py:132-175, 255-347): Adam at lr 1e-3
+(ref :260), stepped decay x0.5 every 20 epochs with a 1e-5 floor
+(ref lib/utils/net_utils.py:272-281), and DataParallel replica scatter
+(ref :258) — here a pjit-sharded step over a ``data`` mesh axis where XLA
+emits the gradient all-reduce over ICI. BatchNorm statistics are computed
+over the global sharded batch (sync-BN; a strict upgrade over
+DataParallel's per-replica stats).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import core, struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pvnet_tpu.config import TrainConfig
+from pvnet_tpu.train.loss import total_loss
+
+
+class TrainState(struct.PyTreeNode):
+    """Model + optimizer state (ref checkpoints carry net/optim/epoch,
+    net_utils.py:124-130)."""
+    step: jnp.ndarray
+    params: core.FrozenDict
+    batch_stats: core.FrozenDict
+    opt_state: optax.OptState
+    apply_fn: Callable = struct.field(pytree_node=False)
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+
+def lr_for_epoch(cfg: TrainConfig, epoch: int) -> float:
+    """Step-decay schedule (ref net_utils.py:272-281): lr0 * rate^(epoch //
+    decay_epoch), floored at lr_min."""
+    lr = cfg.lr * (cfg.lr_decay_rate ** (epoch // cfg.lr_decay_epoch))
+    return max(lr, cfg.lr_min)
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    """Adam with an injectable learning rate (set per epoch by the loop)."""
+    return optax.inject_hyperparams(optax.adam)(learning_rate=cfg.lr)
+
+
+def create_train_state(model, cfg: TrainConfig, input_shape,
+                       rng: jax.Array) -> TrainState:
+    variables = model.init(rng, jnp.zeros(input_shape, jnp.float32),
+                           train=False)
+    tx = make_optimizer(cfg)
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", core.FrozenDict()),
+        opt_state=tx.init(params),
+        apply_fn=model.apply,
+        tx=tx,
+    )
+
+
+def set_learning_rate(state: TrainState, lr: float) -> TrainState:
+    """Write the per-epoch LR into the injected hyperparams."""
+    opt_state = state.opt_state
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return state.replace(opt_state=opt_state)
+
+
+def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+               vertex_loss_ratio: float = 1.0
+               ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """One optimization step. batch keys: image [b,h,w,3], mask [b,h,w],
+    vertex [b,h,w,vd], vertex_weights [b,h,w,1]."""
+
+    def loss_fn(params):
+        (seg_pred, ver_pred), mutated = state.apply_fn(
+            {"params": params, "batch_stats": state.batch_stats},
+            batch["image"], train=True, mutable=["batch_stats"])
+        loss, metrics = total_loss(seg_pred, ver_pred, batch["mask"],
+                                   batch["vertex"],
+                                   batch["vertex_weights"],
+                                   vertex_loss_ratio)
+        return loss, (metrics, mutated["batch_stats"])
+
+    grads, (metrics, new_stats) = jax.grad(loss_fn, has_aux=True)(
+        state.params)
+    updates, new_opt_state = state.tx.update(grads, state.opt_state,
+                                             state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    new_state = state.replace(step=state.step + 1, params=new_params,
+                              batch_stats=new_stats,
+                              opt_state=new_opt_state)
+    return new_state, metrics
+
+
+def eval_forward(state: TrainState, image: jnp.ndarray
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inference forward pass with frozen batch statistics."""
+    return state.apply_fn(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        image, train=False)
+
+
+def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+              vertex_loss_ratio: float = 1.0) -> Dict[str, jnp.ndarray]:
+    """Loss/metrics without parameter updates (ref val(), :177-205)."""
+    seg_pred, ver_pred = eval_forward(state, batch["image"])
+    _, metrics = total_loss(seg_pred, ver_pred, batch["mask"],
+                            batch["vertex"], batch["vertex_weights"],
+                            vertex_loss_ratio)
+    return metrics
+
+
+def make_sharded_train_step(mesh: Mesh, vertex_loss_ratio: float = 1.0,
+                            donate: bool = True):
+    """Jit the train step with data-parallel shardings over ``mesh``.
+
+    State is replicated; batch arrays are split on dim 0 over the 'data'
+    axis. XLA inserts the gradient/batch-stat all-reduces.
+    """
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+
+    step = functools.partial(train_step, vertex_loss_ratio=vertex_loss_ratio)
+    return jax.jit(
+        step,
+        in_shardings=(repl, data),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_sharded_eval_step(mesh: Mesh, vertex_loss_ratio: float = 1.0):
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    step = functools.partial(eval_step, vertex_loss_ratio=vertex_loss_ratio)
+    return jax.jit(step, in_shardings=(repl, data), out_shardings=repl)

@@ -1,0 +1,179 @@
+"""Visualization helpers (ref lib/utils/draw_utils.py semantics).
+
+matplotlib-based overlays (3D bbox wireframes, hypothesis scatters,
+covariance ellipses) plus numpy colorize/grid helpers used by the training
+recorder. All functions accept/return numpy; nothing here is on the jitted
+path.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+from pvnet_tpu.config import IMAGENET_MEAN, IMAGENET_STD
+
+# Cityscapes-style label palette (ref net_utils.py:152-171)
+_COLORS = np.array([
+    [0, 0, 0], [128, 64, 128], [244, 35, 232], [70, 70, 70],
+    [102, 102, 156], [190, 153, 153], [153, 153, 153], [250, 170, 30],
+    [220, 220, 0], [107, 142, 35], [152, 251, 152], [0, 130, 180],
+    [220, 20, 60], [255, 0, 0], [0, 0, 142], [0, 0, 70], [0, 60, 100],
+    [0, 80, 100], [0, 0, 230], [119, 11, 32]], np.uint8)
+
+# Edges of an axis-aligned 3D box given the reference's corner ordering
+# (ref draw_utils.py:visualize_bounding_box :9-46 draws these quads)
+_BOX_EDGES = [(0, 1), (0, 2), (1, 3), (2, 3),
+              (4, 5), (4, 6), (5, 7), (6, 7),
+              (0, 4), (1, 5), (2, 6), (3, 7)]
+
+
+def imagenet_to_uint8(img: np.ndarray) -> np.ndarray:
+    """Undo ImageNet normalization; [h, w, 3] float -> uint8
+    (ref draw_utils.py:279-296, NHWC here)."""
+    out = (img * IMAGENET_STD + IMAGENET_MEAN) * 255.0
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def colorize_segmentation(labels: np.ndarray) -> np.ndarray:
+    """[b, h, w] int labels -> [b, h, w, 3] uint8 palette image."""
+    return _COLORS[np.clip(labels, 0, len(_COLORS) - 1)]
+
+
+def colorize_vertex_field(ver: np.ndarray, weights: np.ndarray
+                          ) -> np.ndarray:
+    """First (x, y) channel pair -> colormapped [2b, h, w, 3] uint8
+    (ref net_utils.py:rec_vertex :229-239)."""
+    from matplotlib import cm
+    v = (ver[..., :2] * weights + 1.0) / 2.0            # [b, h, w, 2]
+    v = np.moveaxis(v, -1, 1).reshape(-1, *v.shape[1:3])
+    mapped = cm.viridis(np.clip(v, 0, 1))[..., :3]
+    return (mapped * 255).astype(np.uint8)
+
+
+def make_grid(imgs: np.ndarray, nrow: int = 5, pad: int = 2) -> np.ndarray:
+    """Tile [n, h, w, 3] uint8 into one grid image."""
+    n, h, w, c = imgs.shape
+    ncol = nrow
+    nrows = (n + ncol - 1) // ncol
+    grid = np.zeros((nrows * (h + pad) - pad, ncol * (w + pad) - pad, c),
+                    imgs.dtype)
+    for i in range(n):
+        r, col = divmod(i, ncol)
+        grid[r * (h + pad):r * (h + pad) + h,
+             col * (w + pad):col * (w + pad) + w] = imgs[i]
+    return grid
+
+
+def draw_bbox_edges(ax, corners_2d: np.ndarray, color: str = "g") -> None:
+    """Draw the 12 edges of a projected 3D box on a matplotlib axis."""
+    for a, b in _BOX_EDGES:
+        ax.plot([corners_2d[a, 0], corners_2d[b, 0]],
+                [corners_2d[a, 1], corners_2d[b, 1]], color=color,
+                linewidth=1.5)
+
+
+def visualize_bounding_box(rgb: np.ndarray, corners_pred: np.ndarray,
+                           corners_targets: Optional[np.ndarray] = None,
+                           save_path: Optional[str] = None):
+    """Projected 3D bbox overlay (ref draw_utils.py:9-46).
+
+    Args:
+      rgb: [h, w, 3] uint8; corners_pred/targets: [8, 2].
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots(figsize=(8, 6))
+    ax.imshow(rgb)
+    draw_bbox_edges(ax, corners_pred, "b")
+    if corners_targets is not None:
+        draw_bbox_edges(ax, corners_targets, "g")
+    ax.axis("off")
+    if save_path:
+        fig.savefig(save_path, bbox_inches="tight", dpi=120)
+        plt.close(fig)
+        return save_path
+    return fig
+
+
+def visualize_mask(mask: np.ndarray, save_path: Optional[str] = None):
+    """Binary/label mask display (ref draw_utils.py:48-66)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots()
+    ax.imshow(colorize_segmentation(mask[None])[0])
+    ax.axis("off")
+    if save_path:
+        fig.savefig(save_path, bbox_inches="tight", dpi=120)
+        plt.close(fig)
+        return save_path
+    return fig
+
+
+def visualize_hypothesis(rgb: np.ndarray, hyp_pts: np.ndarray,
+                         hyp_counts: np.ndarray,
+                         keypoints: Optional[np.ndarray] = None,
+                         save_path: Optional[str] = None):
+    """Hypothesis scatter colored by inlier count (ref draw_utils.py:139-174).
+
+    Args:
+      hyp_pts: [hn, vn, 2]; hyp_counts: [hn, vn].
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    h, w = rgb.shape[:2]
+    fig, ax = plt.subplots(figsize=(8, 6))
+    ax.imshow(rgb)
+    pts = hyp_pts.reshape(-1, 2)
+    cts = hyp_counts.reshape(-1).astype(np.float64)
+    inside = ((pts[:, 0] >= 0) & (pts[:, 0] < w)
+              & (pts[:, 1] >= 0) & (pts[:, 1] < h))
+    ax.scatter(pts[inside, 0], pts[inside, 1], c=cts[inside], s=2,
+               cmap="viridis")
+    if keypoints is not None:
+        ax.scatter(keypoints[:, 0], keypoints[:, 1], c="r", marker="x", s=40)
+    ax.axis("off")
+    if save_path:
+        fig.savefig(save_path, bbox_inches="tight", dpi=120)
+        plt.close(fig)
+        return save_path
+    return fig
+
+
+def visualize_voting_ellipse(rgb: np.ndarray, mean: np.ndarray,
+                             cov: np.ndarray,
+                             keypoints_gt: Optional[np.ndarray] = None,
+                             n_std: float = 3.0,
+                             save_path: Optional[str] = None):
+    """Covariance ellipses around voted keypoints (ref draw_utils.py:176-205).
+
+    Args:
+      mean: [vn, 2]; cov: [vn, 2, 2].
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.patches import Ellipse
+    fig, ax = plt.subplots(figsize=(8, 6))
+    ax.imshow(rgb)
+    for vi in range(mean.shape[0]):
+        lam, vec = np.linalg.eigh(cov[vi])
+        lam = np.maximum(lam, 0)
+        ang = np.degrees(np.arctan2(vec[1, 1], vec[0, 1]))
+        e = Ellipse(mean[vi], 2 * n_std * np.sqrt(lam[1]),
+                    2 * n_std * np.sqrt(lam[0]), angle=ang,
+                    edgecolor="b", facecolor="none", linewidth=1.0)
+        ax.add_patch(e)
+        ax.scatter(*mean[vi], c="b", s=8)
+    if keypoints_gt is not None:
+        ax.scatter(keypoints_gt[:, 0], keypoints_gt[:, 1], c="g", marker="x",
+                   s=40)
+    ax.axis("off")
+    if save_path:
+        fig.savefig(save_path, bbox_inches="tight", dpi=120)
+        plt.close(fig)
+        return save_path
+    return fig
