@@ -1,0 +1,142 @@
+"""Accumulating pose evaluator (ref lib/utils/evaluation_utils.py:64-226).
+
+Decoupled from the dataset layer: per-object metadata arrives as an
+:class:`ObjectMeta` (keypoints, mesh points, diameter, symmetry flag) so the
+evaluator works with LINEMOD, occlusion/truncation splits, or synthetic
+fixtures alike. The per-image pipeline is
+
+    voted 2D keypoints (+ covariance)  ->  PnP  ->  ADD(-S) / 2D-proj / 5cm5deg
+
+with the PnP solve and all metric math in jitted JAX; only the accumulation
+lists live on the host.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pvnet_tpu.eval import metrics as M
+from pvnet_tpu.ops.geometry import inv_sqrtm_2x2
+from pvnet_tpu.ops.pnp import pnp as pnp_solve
+from pvnet_tpu.ops.pnp import uncertainty_pnp as upnp_solve
+
+
+@dataclass
+class ObjectMeta:
+    """Static per-class evaluation metadata.
+
+    Attributes:
+      points_3d:  [vn, 3] canonical 3D keypoints (FPS + center etc.,
+                  ref VotingType.get_pts_3d, linemod_dataset.py:142-169).
+      model_pts:  [n, 3] mesh vertices for ADD / projection metrics.
+      diameter:   object diameter in meters (ref data_utils.py:111-118).
+      symmetric:  use ADD-S (glue/eggbox, ref config.py:70).
+      name:       class name (reporting only).
+    """
+    points_3d: np.ndarray
+    model_pts: np.ndarray
+    diameter: float
+    symmetric: bool = False
+    name: str = ""
+
+
+@jax.jit
+def _pose_from_keypoints(points_3d, kps_2d, K):
+    return pnp_solve(points_3d, kps_2d, K)
+
+
+@jax.jit
+def _pose_from_keypoints_uncertain(points_3d, kps_2d, covar, K):
+    W = inv_sqrtm_2x2(covar)
+    bad = (covar[:, 0, 0] < 1e-6) | jnp.any(jnp.isnan(covar), axis=(1, 2))
+    W = jnp.where(bad[:, None, None], 0.0, W)
+    w3 = jnp.stack([W[:, 0, 0], W[:, 0, 1], W[:, 1, 1]], axis=-1)
+    return upnp_solve(kps_2d, w3, points_3d, K)
+
+
+@jax.jit
+def _metric_bundle(pose_pred, pose_gt, model_pts, K):
+    add = M.add_error(pose_pred, pose_gt, model_pts)
+    adds = M.add_error_sym(pose_pred, pose_gt, model_pts)
+    proj = M.projection_error(pose_pred, pose_gt, model_pts, K)
+    trans_cm, rot_deg = M.cm_degree_errors(pose_pred, pose_gt)
+    return add, adds, proj, trans_cm, rot_deg
+
+
+class Evaluator:
+    """Accumulates per-image pose metrics; thresholds as the reference
+    (ADD < 0.1*diameter, proj < 5 px, 5 cm & 5 deg)."""
+
+    def __init__(self, meta: ObjectMeta,
+                 add_percentage: float = 0.1,
+                 proj_threshold: float = 5.0):
+        self.meta = meta
+        self.add_percentage = add_percentage
+        self.proj_threshold = proj_threshold
+        self.projection_2d_recorder: List[bool] = []
+        self.add_recorder: List[bool] = []
+        self.cm_degree_5_recorder: List[bool] = []
+        self.proj_mean_diffs: List[float] = []
+        self.add_dists: List[float] = []
+        self._pts3d = jnp.asarray(meta.points_3d, jnp.float32)
+        self._model = jnp.asarray(meta.model_pts, jnp.float32)
+
+    # -- pose estimation front-ends --------------------------------------
+    def evaluate(self, kps_2d: np.ndarray, pose_gt: np.ndarray,
+                 K: np.ndarray) -> np.ndarray:
+        """Plain path (ref evaluation_utils.py:143-163)."""
+        pose_pred = _pose_from_keypoints(self._pts3d,
+                                         jnp.asarray(kps_2d, jnp.float32),
+                                         jnp.asarray(K, jnp.float32))
+        self._record(pose_pred, pose_gt, K)
+        return np.asarray(pose_pred)
+
+    def evaluate_uncertainty(self, mean_2d: np.ndarray, covar: np.ndarray,
+                             pose_gt: np.ndarray, K: np.ndarray
+                             ) -> np.ndarray:
+        """Uncertainty path (ref evaluation_utils.py:165-201)."""
+        pose_pred = _pose_from_keypoints_uncertain(
+            self._pts3d, jnp.asarray(mean_2d, jnp.float32),
+            jnp.asarray(covar, jnp.float32), jnp.asarray(K, jnp.float32))
+        self._record(pose_pred, pose_gt, K)
+        return np.asarray(pose_pred)
+
+    def evaluate_pose(self, pose_pred: np.ndarray, pose_gt: np.ndarray,
+                      K: np.ndarray) -> None:
+        """Record metrics for an externally computed pose."""
+        self._record(jnp.asarray(pose_pred, jnp.float32), pose_gt, K)
+
+    # -- internals --------------------------------------------------------
+    def _record(self, pose_pred, pose_gt, K):
+        add, adds, proj, trans_cm, rot_deg = _metric_bundle(
+            pose_pred, jnp.asarray(pose_gt, jnp.float32), self._model,
+            jnp.asarray(K, jnp.float32))
+        add_val = float(adds if self.meta.symmetric else add)
+        self.add_dists.append(add_val)
+        self.add_recorder.append(
+            add_val < self.meta.diameter * self.add_percentage)
+        proj_val = float(proj)
+        self.proj_mean_diffs.append(proj_val)
+        self.projection_2d_recorder.append(proj_val < self.proj_threshold)
+        self.cm_degree_5_recorder.append(
+            float(trans_cm) < 5.0 and float(rot_deg) < 5.0)
+
+    def average_precision(self, verbose: bool = True
+                          ) -> Tuple[float, float, float]:
+        """(2D-proj rate, ADD rate, 5cm5deg rate)
+        (ref evaluation_utils.py:219-226)."""
+        proj = float(np.mean(self.projection_2d_recorder)) \
+            if self.projection_2d_recorder else float("nan")
+        add = float(np.mean(self.add_recorder)) \
+            if self.add_recorder else float("nan")
+        cm = float(np.mean(self.cm_degree_5_recorder)) \
+            if self.cm_degree_5_recorder else float("nan")
+        if verbose:
+            print(f"2d projections metric: {proj}")
+            print(f"ADD metric: {add}")
+            print(f"5 cm 5 degree metric: {cm}")
+        return proj, add, cm
