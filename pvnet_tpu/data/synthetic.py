@@ -1,0 +1,182 @@
+"""Synthetic LINEMOD-layout dataset generator.
+
+The reference's synthetic data comes from an external Blender pipeline
+(ref lib/utils/render_utils.py shells out to a Blender binary that is not
+part of the snapshot; README points to the sibling pvnet-rendering repo).
+This module serves two purposes:
+
+1. A self-contained stand-in: generate a miniature dataset with the *exact*
+   LINEMOD directory layout (ply model, JPEGImages, mask/, LINEMOD_ORIG
+   rot/tra + distance.txt, train/val/test splits) so the full DB -> dataset
+   -> training -> eval pipeline runs and is testable without the real data.
+2. The pose-sampling logic of the reference's renderer (uniform sphere
+   azimuth/elevation, ref render_utils.py:90-120) for producing render-set
+   style training poses.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+from pvnet_tpu.config import LINEMOD_K, PathConfig
+from pvnet_tpu.data.ply import PlyMesh, save_ply_ascii
+from pvnet_tpu.ops.rasterize import render_mesh_depth
+
+
+def sample_sphere_poses(num: int, rng: np.random.RandomState,
+                        azi_range=(0, 360), ele_range=(-15, 40)):
+    """Azimuth/elevation pose sampling like the reference's fibonacci-sphere
+    sampler (ref render_utils.py:90-108). Returns [num, 3] euler-ish
+    (azi, ele, theta) degrees."""
+    azis = rng.uniform(*azi_range, num)
+    eles = rng.uniform(*ele_range, num)
+    thetas = rng.uniform(-30, 30, num)
+    return np.stack([azis, eles, thetas], axis=-1)
+
+
+def _euler_to_R(azi, ele, theta):
+    a, e, t = np.deg2rad([azi, ele, theta])
+
+    def rz(x):
+        return np.array([[np.cos(x), -np.sin(x), 0],
+                         [np.sin(x), np.cos(x), 0], [0, 0, 1]])
+
+    def rx(x):
+        return np.array([[1, 0, 0], [0, np.cos(x), -np.sin(x)],
+                         [0, np.sin(x), np.cos(x)]])
+
+    return rz(t) @ rx(e) @ rz(a)
+
+
+def make_duck_mesh(n_theta: int = 16, n_phi: int = 24, scale: float = 0.05
+                   ) -> PlyMesh:
+    """A lumpy ellipsoid ("duck") test object, ~0.1 m across."""
+    verts = []
+    for i in range(n_theta + 1):
+        th = np.pi * i / n_theta
+        for j in range(n_phi):
+            ph = 2 * np.pi * j / n_phi
+            r = 1.0 + 0.25 * np.sin(3 * ph) * np.sin(2 * th)
+            x = r * np.sin(th) * np.cos(ph)
+            y = 0.8 * r * np.sin(th) * np.sin(ph)
+            z = 1.2 * r * np.cos(th)
+            verts.append([x * scale, y * scale, z * scale])
+    verts = np.asarray(verts, np.float32)
+    faces = []
+    for i in range(n_theta):
+        for j in range(n_phi):
+            a = i * n_phi + j
+            b = i * n_phi + (j + 1) % n_phi
+            c = (i + 1) * n_phi + j
+            d = (i + 1) * n_phi + (j + 1) % n_phi
+            faces.append([a, b, c])
+            faces.append([b, d, c])
+    colors = np.tile(np.array([[200, 180, 60]], np.uint8),
+                     (verts.shape[0], 1))
+    return PlyMesh(vertices=verts, faces=np.asarray(faces, np.int32),
+                   colors=colors)
+
+
+def render_synthetic_view(mesh: PlyMesh, pose: np.ndarray, K: np.ndarray,
+                          h: int, w: int,
+                          rng: Optional[np.random.RandomState] = None
+                          ) -> Tuple[np.ndarray, np.ndarray]:
+    """(rgb uint8 [h, w, 3], mask uint8 [h, w]) via the numpy z-buffer."""
+    depth = render_mesh_depth(pose, K, mesh.vertices, mesh.faces, h, w)
+    mask = (depth > 0).astype(np.uint8)
+    rng = rng or np.random.RandomState(0)
+    rgb = rng.randint(0, 80, (h, w, 3)).astype(np.uint8)  # noisy background
+    if mask.any():
+        zmin, zmax = depth[mask > 0].min(), depth[mask > 0].max()
+        shade = 1.0 - 0.6 * (depth - zmin) / max(zmax - zmin, 1e-6)
+        for c, base in enumerate((200, 180, 60)):
+            ch = rgb[..., c].astype(np.float32)
+            ch[mask > 0] = base * shade[mask > 0]
+            rgb[..., c] = np.clip(ch, 0, 255).astype(np.uint8)
+    return rgb, mask
+
+
+def sample_object_pose(rng: np.random.RandomState,
+                       z_range=(0.4, 0.8)) -> np.ndarray:
+    azi, ele, theta = sample_sphere_poses(1, rng)[0]
+    R = _euler_to_R(azi, ele, theta)
+    t = np.array([rng.uniform(-0.05, 0.05), rng.uniform(-0.05, 0.05),
+                  rng.uniform(*z_range)])
+    return np.concatenate([R, t[:, None]], 1).astype(np.float32)
+
+
+def generate_synthetic_linemod(root: str, cls_name: str = "duck",
+                               num_images: int = 20,
+                               image_hw: Tuple[int, int] = (480, 640),
+                               seed: int = 0) -> PathConfig:
+    """Write a miniature LINEMOD tree under ``root``.
+
+    Layout produced (all consumed by data.linemod builders):
+      LINEMOD/{cls}/{cls}.ply, JPEGImages/{k:06}.jpg, mask/{k:04}.png,
+      train.txt/val.txt/test.txt
+      LINEMOD_ORIG/{cls}/data/rot{k}.rot + tra{k}.tra, distance.txt,
+      mesh.ply
+    """
+    rng = np.random.RandomState(seed)
+    h, w = image_hw
+    paths = PathConfig(data_dir=root)
+    cls_dir = os.path.join(paths.linemod_dir, cls_name)
+    os.makedirs(os.path.join(cls_dir, "JPEGImages"), exist_ok=True)
+    os.makedirs(os.path.join(cls_dir, "mask"), exist_ok=True)
+    orig_dir = os.path.join(paths.linemod_orig_dir, cls_name)
+    os.makedirs(os.path.join(orig_dir, "data"), exist_ok=True)
+
+    mesh = make_duck_mesh()
+    save_ply_ascii(os.path.join(cls_dir, f"{cls_name}.ply"), mesh)
+
+    # LINEMOD_ORIG mesh in mm, in the orig frame: the blender->orig
+    # relationship is orig = R_flip @ blender, so pose conversion round
+    # trips hold (ref base_utils.py:33-50,171-175).
+    flip = np.array([[1.0, 0, 0], [0, -1.0, 0], [0, 0, -1.0]])
+    orig_vertices = (mesh.vertices @ flip.T) * 1000.0
+    save_ply_ascii(os.path.join(orig_dir, "mesh.ply"),
+                   PlyMesh(vertices=orig_vertices.astype(np.float32),
+                           faces=mesh.faces))
+    ext = np.linalg.norm(mesh.vertices.max(0) - mesh.vertices.min(0))
+    np.savetxt(os.path.join(orig_dir, "distance.txt"),
+               np.asarray([ext * 100.0]))   # cm (ref data_utils.py:111-118)
+
+    names = []
+    for k in range(num_images):
+        pose = sample_object_pose(rng)
+        rgb, mask = render_synthetic_view(mesh, pose, LINEMOD_K, h, w, rng)
+        Image.fromarray(rgb).save(
+            os.path.join(cls_dir, "JPEGImages", f"{k:06}.jpg"))
+        Image.fromarray(mask * 255).save(
+            os.path.join(cls_dir, "mask", f"{k:04}.png"))
+        # store the orig-frame pose that converts back to `pose`
+        # (orig_pose_to_blender_pose: R_b = R_o @ flip, t_b = t_o + R_o c;
+        # with centered models the translation transform is ~0 so
+        # R_o = R_b @ flip, t_o = t_b - R_o @ trans)
+        R_o = pose[:, :3] @ np.linalg.inv(flip)
+        blender_model = mesh.vertices @ flip.T
+        trans = (np.mean(orig_vertices / 1000.0, axis=0)
+                 - np.mean(blender_model, axis=0))
+        t_o = pose[:, 3] - R_o @ trans
+        with open(os.path.join(orig_dir, "data", f"rot{k}.rot"), "w") as f:
+            f.write("3 3\n")
+            for row in R_o:
+                f.write(" ".join(f"{v:.8f}" for v in row) + "\n")
+        with open(os.path.join(orig_dir, "data", f"tra{k}.tra"), "w") as f:
+            f.write("1 3\n")
+            f.write(" ".join(f"{v:.8f}" for v in t_o * 100.0) + "\n")
+        names.append(f"{k:06}.jpg")
+
+    n_train = max(1, int(num_images * 0.5))
+    n_val = max(1, int(num_images * 0.1))
+    with open(os.path.join(cls_dir, "train.txt"), "w") as f:
+        f.writelines(n + "\n" for n in names[:n_train])
+    with open(os.path.join(cls_dir, "val.txt"), "w") as f:
+        f.writelines(n + "\n" for n in names[n_train:n_train + n_val])
+    with open(os.path.join(cls_dir, "test.txt"), "w") as f:
+        f.writelines(n + "\n" for n in names[n_train:])
+    return paths

@@ -1,0 +1,71 @@
+"""Per-pixel keypoint vector-field target generation.
+
+The reference computes unit vectors pixel->keypoint on the host per sample in
+O(h*w*k) numpy (ref lib/datasets/linemod_dataset.py:68-81,
+compute_vertex_hcoords) inside 12 worker processes. Here the same math
+exists twice:
+
+- :func:`compute_vertex_targets_np` — host fallback, identical semantics.
+- :func:`compute_vertex_targets` — one jnp broadcast, runs on device inside
+  the jitted train step so the host pipeline only ships (rgb, mask, hcoords),
+  cutting host CPU and host->device bytes per sample by ~2*K.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def compute_vertex_targets_np(mask: np.ndarray, hcoords: np.ndarray,
+                              use_motion: bool = False) -> np.ndarray:
+    """Host reference implementation (ref linemod_dataset.py:68-81).
+
+    Args:
+      mask:    [h, w] foreground mask (1 = object).
+      hcoords: [k, 3] homogeneous 2D keypoints (x, y, w).
+      use_motion: if True store raw offsets instead of unit vectors.
+
+    Returns:
+      [h, w, k*2] float32, zero outside the mask.
+    """
+    h, w = mask.shape
+    m = hcoords.shape[0]
+    xy = np.argwhere(mask == 1)[:, [1, 0]]
+    vertex = xy[:, None, :] * hcoords[None, :, 2:]
+    vertex = hcoords[None, :, :2] - vertex
+    if not use_motion:
+        norm = np.linalg.norm(vertex, axis=2, keepdims=True)
+        norm[norm < 1e-3] += 1e-3
+        vertex = vertex / norm
+    out = np.zeros([h, w, m, 2], np.float32)
+    out[xy[:, 1], xy[:, 0]] = vertex
+    return np.reshape(out, [h, w, m * 2])
+
+
+def compute_vertex_targets(mask: jnp.ndarray, hcoords: jnp.ndarray,
+                           use_motion: bool = False) -> jnp.ndarray:
+    """Device implementation, batched.
+
+    Args:
+      mask:    [b, h, w]
+      hcoords: [b, k, 3]
+    Returns:
+      [b, h, w, k*2] float32.
+    """
+    b, h, w = mask.shape
+    k = hcoords.shape[1]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :, None]   # [1,1,w,1]
+    ys = jnp.arange(h, dtype=jnp.float32)[None, :, None, None]   # [1,h,1,1]
+    hx = hcoords[:, None, None, :, 0]                            # [b,1,1,k]
+    hy = hcoords[:, None, None, :, 1]
+    hw = hcoords[:, None, None, :, 2]
+    vx = hx - xs * hw                                            # [b,h,w,k]
+    vy = hy - ys * hw
+    if not use_motion:
+        norm = jnp.sqrt(vx * vx + vy * vy)
+        norm = jnp.where(norm < 1e-3, norm + 1e-3, norm)
+        vx = vx / norm
+        vy = vy / norm
+    v = jnp.stack([vx, vy], axis=-1)                             # [b,h,w,k,2]
+    v = v * (mask == 1)[..., None, None]
+    return v.reshape(b, h, w, k * 2)
