@@ -241,7 +241,7 @@ def _count_kernel(pix_ref, hyp_ref, out_ref, *, thresh: float):
 
     pix_ref: [1, TILE_T, 8]  pixel features (tn on sublanes)
     hyp_ref: [1, 4, TILE_H]  hypothesis features (hn on lanes)
-    out_ref: [1, TILE_H]     float32 counts, accumulated over tn tiles
+    out_ref: [1, 1, TILE_H]  float32 counts, accumulated over tn tiles
     """
     tn_t = pl.program_id(2)
 
@@ -271,7 +271,7 @@ def _count_kernel(pix_ref, hyp_ref, out_ref, *, thresh: float):
            & (d2 > _NORM_EPS_SQ)
            & (n2 > _NORM_EPS_SQ)
            & (vmask > 0.5))
-    out_ref[...] += jnp.sum(inl.astype(jnp.float32), axis=0, keepdims=True)
+    out_ref[0] += jnp.sum(inl.astype(jnp.float32), axis=0, keepdims=True)
 
 
 def count_inliers_pallas(fg: ForegroundSample, hyps: jnp.ndarray,
@@ -287,10 +287,14 @@ def count_inliers_pallas(fg: ForegroundSample, hyps: jnp.ndarray,
     b, hn, vn, _ = hyps.shape
     tn = fg.coords.shape[1]
 
-    tile_h = min(tile_h, max(128, hn))
-    tile_t = min(tile_t, max(8, tn))
-    pad_h = (-hn) % tile_h
-    pad_t = (-tn) % tile_t
+    def round_up(x, m):
+        return -(-x // m) * m
+
+    # TPU lowering: block dims must be multiples of (8, 128) sublane/lane
+    tile_h = min(tile_h, round_up(hn, 128))
+    tile_t = min(tile_t, round_up(tn, 8))
+    pad_h = round_up(hn, tile_h) - hn
+    pad_t = round_up(tn, tile_t) - tn
 
     pix = _pixel_features(fg)                               # [b, vn, tn, 8]
     hyp = _hyp_features(hyps)                               # [b, vn, 4, hn]
@@ -313,9 +317,9 @@ def count_inliers_pallas(fg: ForegroundSample, hyps: jnp.ndarray,
             pl.BlockSpec((1, 4, tile_h), lambda gi, hi, ti: (gi, 0, hi),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tile_h), lambda gi, hi, ti: (gi, hi),
+        out_specs=pl.BlockSpec((1, 1, tile_h), lambda gi, hi, ti: (gi, 0, hi),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((g, hn_p), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((g, 1, hn_p), jnp.float32),
         interpret=interpret,
     )(pix, hyp)
 

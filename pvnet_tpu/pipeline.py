@@ -1,0 +1,122 @@
+"""End-to-end inference: image -> FCN -> voting -> PnP in one XLA program.
+
+The reference splits inference across devices and the host: FCN forward on
+GPU, per-image python RANSAC loops on GPU (ref EvalWrapper,
+tools/train_linemod.py:94-130), then keypoints copied to the host for
+OpenCV/Ceres PnP (ref evaluation_utils.py:143-201). Here the whole
+image->pose path is jittable and batched, so a single ``jit`` compiles
+network + voting + pose solve, and the batch scales over a data mesh with
+no host round trips.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pvnet_tpu.ops import pnp as pnp_mod
+from pvnet_tpu.ops import voting
+
+
+class VoteParams(NamedTuple):
+    """Voting envelope (defaults = reference production eval:
+    128 hyps/round x <=21 rounds -> 1024 fused; inlier 0.99; budget 1024 vs
+    the reference's 100-pixel cap, ref train_linemod.py:104-106)."""
+    hyp_num: int = 1024
+    inlier_thresh: float = 0.99
+    max_num: int = 1024
+    min_num: int = 5
+    uncertainty_hyp_num: int = 4096
+
+
+def predict_fields(apply_fn, variables, image: jnp.ndarray
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """FCN forward: [b, h, w, 3] -> (mask [b, h, w], vertex [b,h,w,vn,2]).
+
+    argmax segmentation like the reference wrappers
+    (ref train_linemod.py:99-102)."""
+    seg_pred, ver_pred = apply_fn(variables, image, train=False)
+    mask = jnp.argmax(seg_pred, axis=-1)
+    b, h, w, vd = ver_pred.shape
+    vertex = ver_pred.reshape(b, h, w, vd // 2, 2)
+    return mask, vertex
+
+
+def keypoints_from_fields(mask: jnp.ndarray, vertex: jnp.ndarray,
+                          key: jax.Array,
+                          params: VoteParams = VoteParams(),
+                          impl: Optional[str] = None) -> jnp.ndarray:
+    """Plain path: v3 voting (ref EvalWrapper :94-106). [b, vn, 2]."""
+    return voting.ransac_voting_v3(
+        mask, vertex, key, hyp_num=params.hyp_num,
+        inlier_thresh=params.inlier_thresh, max_num=params.max_num,
+        min_num=params.min_num, impl=impl)
+
+
+def keypoints_with_covariance(mask: jnp.ndarray, vertex: jnp.ndarray,
+                              key: jax.Array,
+                              params: VoteParams = VoteParams(),
+                              impl: Optional[str] = None
+                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Uncertainty path: v3 voting then hypothesis covariance
+    (ref UncertaintyEvalWrapper :119-130)."""
+    k1, k2 = jax.random.split(key)
+    mean = voting.ransac_voting_v3(
+        mask, vertex, k1, hyp_num=params.hyp_num,
+        inlier_thresh=params.inlier_thresh, max_num=params.max_num,
+        min_num=params.min_num, impl=impl)
+    return voting.estimate_voting_distribution_with_mean(
+        mask, vertex, mean, k2, hyp_num=params.uncertainty_hyp_num,
+        inlier_thresh=params.inlier_thresh, max_num=params.max_num,
+        min_num=params.min_num, impl=impl)
+
+
+def poses_from_keypoints(points_3d: jnp.ndarray, kps_2d: jnp.ndarray,
+                         K: jnp.ndarray,
+                         covar: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Batched pose solve. kps_2d [b, vn, 2]; K [3, 3] or [b, 3, 3];
+    covar [b, vn, 2, 2] selects the uncertainty-weighted solver."""
+    per_image_K = K.ndim == 3
+
+    if covar is None:
+        if per_image_K:
+            return pnp_mod.pnp_batch_K(points_3d, kps_2d, K)
+        return pnp_mod.pnp_batch(points_3d, kps_2d, K)
+
+    from pvnet_tpu.ops.geometry import inv_sqrtm_2x2
+    W = inv_sqrtm_2x2(covar)
+    bad = (covar[..., 0, 0] < 1e-6) | jnp.any(jnp.isnan(covar),
+                                              axis=(-2, -1))
+    W = jnp.where(bad[..., None, None], 0.0, W)
+    w3 = jnp.stack([W[..., 0, 0], W[..., 0, 1], W[..., 1, 1]], axis=-1)
+    if per_image_K:
+        return pnp_mod.uncertainty_pnp_batch_K(kps_2d, w3, points_3d, K)
+    return pnp_mod.uncertainty_pnp_batch(kps_2d, w3, points_3d, K)
+
+
+def make_pose_pipeline(apply_fn, points_3d, K,
+                       params: VoteParams = VoteParams(),
+                       uncertainty: bool = False,
+                       impl: Optional[str] = None):
+    """Build the fully fused image->pose function.
+
+    Returns f(variables, image [b,h,w,3], key) -> (pose [b,3,4],
+    kps [b,vn,2]); jit it once per image shape.
+    """
+    points_3d = jnp.asarray(points_3d, jnp.float32)
+    K = jnp.asarray(K, jnp.float32)
+
+    def run(variables, image, key):
+        mask, vertex = predict_fields(apply_fn, variables, image)
+        if uncertainty:
+            mean, cov = keypoints_with_covariance(mask, vertex, key, params,
+                                                  impl)
+            pose = poses_from_keypoints(points_3d, mean, K, covar=cov)
+            return pose, mean
+        kps = keypoints_from_fields(mask, vertex, key, params, impl)
+        pose = poses_from_keypoints(points_3d, kps, K)
+        return pose, kps
+
+    return run
