@@ -130,6 +130,11 @@ def epnp(pts3d: jnp.ndarray, pts2d: jnp.ndarray, K: jnp.ndarray,
     Returns:
       [3, 4] pose [R | t].
     """
+    with jax.default_matmul_precision("float32"):
+        return _epnp_impl(pts3d, pts2d, K, weights)
+
+
+def _epnp_impl(pts3d, pts2d, K, weights):
     n = pts3d.shape[0]
     dt = pts3d.dtype
     w = jnp.ones((n,), dt) if weights is None else weights
@@ -236,6 +241,11 @@ def lm_refine(pose0: jnp.ndarray, pts3d: jnp.ndarray, pts2d: jnp.ndarray,
     Returns:
       ([3, 4] refined pose, final scalar cost).
     """
+    with jax.default_matmul_precision("float32"):
+        return _lm_refine_impl(pose0, pts3d, pts2d, K, w3, iters)
+
+
+def _lm_refine_impl(pose0, pts3d, pts2d, K, w3, iters):
     p0 = jnp.concatenate([inverse_rodrigues(pose0[:, :3]), pose0[:, 3]])
     res_fn = lambda p: _residuals(p, pts3d, pts2d, K, w3)
     jac_fn = jax.jacfwd(res_fn)

@@ -1,0 +1,259 @@
+"""Full training / evaluation loops (ref tools/train_linemod.py:132-347).
+
+Orchestrates: DB construction, datasets with augmentation, the sharded
+train step, per-epoch validation, optional pose evaluation with the
+accumulating Evaluator, checkpointing, LR schedule, and recording.
+
+The device-side contract: batches carry (image, mask, hcoords); vertex
+targets are computed on device (data.vertex.compute_vertex_targets) right
+before the train step, replacing the reference's per-sample host numpy
+(ref linemod_dataset.py:68-81).
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pvnet_tpu.config import (AugConfig, PathConfig, TrainConfig,
+                              INTRINSIC_MATRICES, LINEMOD_K)
+from pvnet_tpu.data.dataset import (ImageSizeBatchSampler, PoseDataset,
+                                    Prefetcher, VotingType, collate)
+from pvnet_tpu.data.linemod import LineModModelDB
+from pvnet_tpu.data.vertex import compute_vertex_targets
+from pvnet_tpu.eval.evaluator import Evaluator, ObjectMeta
+from pvnet_tpu.models.pvnet import build_model
+from pvnet_tpu.parallel import make_mesh, replicate, shard_batch
+from pvnet_tpu.train import trainer as trainer_mod
+from pvnet_tpu.train.checkpoint import load_model, save_model
+from pvnet_tpu.train.recorder import AverageMeter, Recorder
+from pvnet_tpu import pipeline as pl_mod
+
+
+def _device_batch(batch: Dict[str, np.ndarray], vote_num: int,
+                  use_motion: bool = False) -> Dict[str, jnp.ndarray]:
+    """Host batch -> device batch with on-device vertex targets."""
+    out = {
+        "image": jnp.asarray(batch["image"]),
+        "mask": jnp.asarray(batch["mask"]),
+        "vertex_weights": jnp.asarray(batch["vertex_weights"]),
+    }
+    if "vertex" in batch:
+        out["vertex"] = jnp.asarray(batch["vertex"])
+    else:
+        out["vertex"] = compute_vertex_targets(
+            out["mask"], jnp.asarray(batch["hcoords"]), use_motion)
+    return out
+
+
+class TrainLoop:
+    """End-to-end trainer for one object class."""
+
+    def __init__(self, cfg: TrainConfig, cls_name: str,
+                 paths: Optional[PathConfig] = None,
+                 buckets: Optional[list] = None,
+                 use_mesh: bool = True):
+        self.cfg = cfg
+        self.cls_name = cls_name
+        self.paths = paths or PathConfig()
+        self.vote_type = cfg.vote_type
+        self.vote_num = VotingType.vote_num(cfg.vote_type)
+        self.model = build_model(cfg.network, ver_dim=self.vote_num * 2,
+                                 seg_dim=2,
+                                 dtype=jnp.bfloat16 if cfg.bf16
+                                 else jnp.float32)
+        self.model_name = f"{cls_name}_{cfg.model_name}"
+        self.model_dir = os.path.join(self.paths.model_dir, self.model_name)
+        self.recorder = Recorder(os.path.join(self.paths.record_dir,
+                                              self.model_name))
+        self.mesh = make_mesh() if use_mesh else None
+        self.buckets = buckets
+        self._train_step = None
+        self._eval_forward_cache = {}
+
+    # -- state ------------------------------------------------------------
+    def init_state(self, input_hw=(256, 256)) -> trainer_mod.TrainState:
+        state = trainer_mod.create_train_state(
+            self.model, self.cfg,
+            (1, input_hw[0], input_hw[1], 3), jax.random.PRNGKey(self.cfg.seed))
+        if self.mesh is not None:
+            state = replicate(state, self.mesh)
+        return state
+
+    def resume(self, state):
+        return load_model(state, self.model_dir,
+                          epoch=-1 if self.cfg.resume else 0)
+
+    # -- steps ------------------------------------------------------------
+    def train_step_fn(self):
+        if self._train_step is None:
+            if self.mesh is not None:
+                self._train_step = trainer_mod.make_sharded_train_step(
+                    self.mesh, self.cfg.vertex_loss_ratio, donate=False)
+            else:
+                import functools
+                self._train_step = jax.jit(functools.partial(
+                    trainer_mod.train_step,
+                    vertex_loss_ratio=self.cfg.vertex_loss_ratio))
+        return self._train_step
+
+    def train_epoch(self, state, loader, epoch: int):
+        """(ref train() :132-175)"""
+        meters = {k: AverageMeter() for k in
+                  ("loss", "seg_loss", "ver_loss", "precision", "recall")}
+        step_fn = self.train_step_fn()
+        begin = time.time()
+        size = len(loader)
+        for idx, batch in enumerate(loader):
+            dev = _device_batch(batch, self.vote_num,
+                                self.cfg.motion_model)
+            if self.mesh is not None:
+                dev = shard_batch(dev, self.mesh)
+            state, metrics = step_fn(state, dev)
+            for k, m in meters.items():
+                m.update(float(metrics[k]))
+            if idx % self.cfg.loss_rec_step == 0:
+                step = epoch * size + idx
+                self.recorder.rec_loss_batch(
+                    {f"train/scalar/{k}": m.avg for k, m in meters.items()},
+                    step, epoch)
+                for m in meters.values():
+                    m.reset()
+        print(f"epoch {epoch} training cost {time.time() - begin:.1f} s",
+              flush=True)
+        return state
+
+    def eval_pipeline(self, hw, batch: int, uncertainty: bool):
+        """Jitted forward+vote per image shape (cached)."""
+        key = (hw, batch, uncertainty)
+        if key not in self._eval_forward_cache:
+            params = pl_mod.VoteParams()
+
+            def fwd(variables, image, rngkey):
+                mask, vertex = pl_mod.predict_fields(
+                    self.model.apply, variables, image)
+                if uncertainty:
+                    return pl_mod.keypoints_with_covariance(
+                        mask, vertex, rngkey, params)
+                return pl_mod.keypoints_from_fields(mask, vertex, rngkey,
+                                                    params)
+
+            self._eval_forward_cache[key] = jax.jit(fwd)
+        return self._eval_forward_cache[key]
+
+    def validate(self, state, loader, epoch: int, prefix: str = "val",
+                 evaluate_pose: bool = False, uncertainty: bool = False,
+                 use_camera_intrinsic: bool = False,
+                 evaluator: Optional[Evaluator] = None):
+        """(ref val() :177-253) — loss metrics always; pose metrics when
+        evaluate_pose."""
+        import functools
+        meters = {k: AverageMeter() for k in
+                  ("loss", "seg_loss", "ver_loss", "precision", "recall")}
+        eval_loss = jax.jit(functools.partial(
+            trainer_mod.eval_step,
+            vertex_loss_ratio=self.cfg.vertex_loss_ratio))
+        key = jax.random.PRNGKey(0)
+        begin = time.time()
+
+        for bidx, batch in enumerate(loader):
+            dev = _device_batch(batch, self.vote_num, self.cfg.motion_model)
+            metrics = eval_loss(state, dev)
+            for k, m in meters.items():
+                m.update(float(metrics[k]))
+
+            if evaluate_pose and evaluator is not None:
+                b, h, w = dev["mask"].shape
+                fwd = self.eval_pipeline((h, w), b, uncertainty)
+                variables = {"params": state.params,
+                             "batch_stats": state.batch_stats}
+                key = jax.random.fold_in(key, bidx)
+                if uncertainty:
+                    mean, cov = fwd(variables, dev["image"], key)
+                    mean, cov = np.asarray(mean), np.asarray(cov)
+                    for bi in range(b):
+                        K = (batch["K"][bi] if use_camera_intrinsic
+                             else LINEMOD_K)
+                        evaluator.evaluate_uncertainty(
+                            mean[bi], cov[bi], batch["pose"][bi], K)
+                else:
+                    kps = np.asarray(fwd(variables, dev["image"], key))
+                    for bi in range(b):
+                        K = (batch["K"][bi] if use_camera_intrinsic
+                             else LINEMOD_K)
+                        evaluator.evaluate(kps[bi], batch["pose"][bi], K)
+
+        losses = {f"{prefix}/scalar/{k}": m.avg for k, m in meters.items()}
+        if evaluate_pose and evaluator is not None:
+            proj, add, cm = evaluator.average_precision(verbose=True)
+            losses[f"{prefix}/scalar/projection_error"] = proj
+            losses[f"{prefix}/scalar/add"] = add
+            losses[f"{prefix}/scalar/cm"] = cm
+        self.recorder.rec_loss_batch(losses, epoch, epoch, prefix)
+        print(f"epoch {epoch} {prefix} cost {time.time() - begin:.1f} s",
+              flush=True)
+        return losses
+
+    # -- orchestration ----------------------------------------------------
+    def make_loaders(self, train_db: Sequence[dict],
+                     val_db: Sequence[dict], data_prefix: str,
+                     num_threads: int = 4):
+        aug = self.cfg.aug_cfg
+        train_set = PoseDataset(train_db, data_prefix, self.vote_type,
+                                augment=True, aug_cfg=aug,
+                                use_motion=self.cfg.motion_model,
+                                seed=self.cfg.seed)
+        train_sampler = ImageSizeBatchSampler(
+            range(len(train_set)), self.cfg.train_batch_size,
+            drop_last=True, aug_cfg=aug, buckets=self.buckets,
+            seed=self.cfg.seed)
+        train_loader = Prefetcher(train_set, train_sampler,
+                                  num_threads=num_threads)
+        val_set = PoseDataset(val_db, data_prefix, self.vote_type,
+                              augment=False, aug_cfg=aug,
+                              use_motion=self.cfg.motion_model)
+        val_sampler = ImageSizeBatchSampler(
+            range(len(val_set)), self.cfg.test_batch_size,
+            aug_cfg=aug, shuffle=False)
+        val_loader = Prefetcher(val_set, val_sampler,
+                                num_threads=num_threads)
+        return train_loader, val_loader
+
+    def object_meta(self) -> ObjectMeta:
+        modeldb = LineModModelDB(self.paths)
+        from pvnet_tpu.config import SYMMETRIC_CLS_NAMES
+        return ObjectMeta(
+            points_3d=VotingType.get_pts_3d(
+                self.vote_type, self.cls_name, modeldb).astype(np.float32),
+            model_pts=modeldb.get_ply_model(self.cls_name).astype(
+                np.float32),
+            diameter=modeldb.get_diameter(self.cls_name),
+            symmetric=self.cls_name in SYMMETRIC_CLS_NAMES,
+            name=self.cls_name)
+
+    def fit(self, train_db, val_db, data_prefix: str,
+            epochs: Optional[int] = None, num_threads: int = 4):
+        """Full training run with resume + per-epoch checkpointing
+        (ref train_net() :305-347)."""
+        state = self.init_state()
+        state, begin_epoch = self.resume(state)
+        train_loader, val_loader = self.make_loaders(
+            train_db, val_db, data_prefix, num_threads)
+        end_epoch = epochs if epochs is not None else self.cfg.epoch_num
+        for epoch in range(begin_epoch, end_epoch):
+            lr = trainer_mod.lr_for_epoch(self.cfg, epoch)
+            state = trainer_mod.set_learning_rate(state, lr)
+            state = self.train_epoch(state, train_loader, epoch)
+            do_eval = (self.cfg.eval_epoch
+                       and epoch % self.cfg.eval_inter == 0
+                       and epoch >= self.cfg.eval_epoch_begin)
+            evaluator = Evaluator(self.object_meta()) if do_eval else None
+            self.validate(state, val_loader, epoch,
+                          evaluate_pose=do_eval, evaluator=evaluator)
+            save_model(state, epoch, self.model_dir,
+                       keep=self.cfg.checkpoint_keep)
+        return state
