@@ -45,6 +45,8 @@ def main():
     if args.quick:
         args.batch, args.height, args.width, args.iters = 2, 128, 128, 3
 
+    from pvnet_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     from pvnet_tpu.models.pvnet import build_model
     from pvnet_tpu.pipeline import VoteParams, make_pose_pipeline
     from pvnet_tpu.config import LINEMOD_K

@@ -486,6 +486,87 @@ def estimate_voting_distribution_with_mean(
     return mean, cov
 
 
+def ransac_voting_v4(mask: jnp.ndarray, vertex: jnp.ndarray, key: jax.Array,
+                     hyp_num: int = 1024, inlier_thresh: float = 0.99,
+                     max_num: int = 1024, min_num: int = 5,
+                     impl: Optional[str] = None
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """v3 plus the per-keypoint scalar residual variance of the WLS fit
+    (ref ransac_voting_gpu.py:669-760: var = sum(residual^2) / n_inliers
+    with residual = N p - b over the winner's inliers; empty-mask images
+    return variance 1 like the reference's ones-fill at :691).
+
+    Returns ([b, vn, 2] keypoints, [b, vn] residual variance).
+    """
+    k1, k2 = jax.random.split(key)
+    fg = sample_foreground(mask, vertex, max_num, k1)
+    hyps = generate_hypotheses(fg, hyp_num, k2)
+    counts = count_inliers(fg, hyps, inlier_thresh, impl=impl)
+    win_idx = jnp.argmax(counts, axis=1)
+    win_pts = jnp.take_along_axis(
+        hyps, win_idx[:, None, :, None], axis=1)[:, 0]
+    refined, inl = _wls_refine(fg, win_pts, inlier_thresh)
+
+    w = inl.astype(jnp.float32)                              # [b, vn, tn]
+    normal = jnp.stack([fg.dirs[..., 1], -fg.dirs[..., 0]], axis=-1)
+    normal = jnp.transpose(normal, (0, 2, 1, 3)) * w[..., None]
+    bscal = jnp.sum(normal * fg.coords[:, None, :, :], axis=-1)
+    residual = jnp.sum(normal * refined[:, :, None, :], axis=-1) - bscal
+    var = jnp.sum(residual * residual, axis=-1) / jnp.maximum(
+        jnp.sum(w, axis=-1), 1.0)
+
+    ok = (fg.total >= min_num)[:, None]
+    refined = jnp.where(ok[..., None], refined, 0.0)
+    var = jnp.where(ok, var, 1.0)
+    return refined, var
+
+
+def ransac_voting_multiclass(mask: jnp.ndarray, vertex: jnp.ndarray,
+                             key: jax.Array, class_num: int,
+                             hyp_num: int = 1024,
+                             inlier_thresh: float = 0.99,
+                             max_num: int = 1024, min_num: int = 5,
+                             impl: Optional[str] = None) -> jnp.ndarray:
+    """Multi-class voting: per class c in 1..class_num-1, vote keypoints on
+    the pixels labeled c (ref ransac_voting_layer / _v2,
+    ransac_voting_gpu.py:10-215, whose python loops over (batch, class) are
+    replaced by a static unroll over classes of the batched v3 layer).
+
+    Args:
+      mask: [b, h, w] integer labels (0 = background).
+    Returns:
+      [b, class_num - 1, vn, 2].
+    """
+    outs = []
+    for c in range(1, class_num):
+        key, sub = jax.random.split(key)
+        cls_mask = (mask == c).astype(jnp.int32)
+        outs.append(ransac_voting_v3(
+            cls_mask, vertex, sub, hyp_num=hyp_num,
+            inlier_thresh=inlier_thresh, max_num=max_num, min_num=min_num,
+            impl=impl))
+    return jnp.stack(outs, axis=1)
+
+
+def generate_hypotheses_with_counts(mask: jnp.ndarray, vertex: jnp.ndarray,
+                                    key: jax.Array, hyp_num: int = 512,
+                                    inlier_thresh: float = 0.99,
+                                    max_num: int = 1024,
+                                    impl: Optional[str] = None
+                                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Visualization helper: raw hypotheses and their inlier counts
+    (ref generate_hypothesis, ransac_voting_gpu.py:983-1034, used by the
+    demo's hypothesis scatter).
+
+    Returns ([b, hn, vn, 2] hypotheses, [b, hn, vn] int32 counts).
+    """
+    k1, k2 = jax.random.split(key)
+    fg = sample_foreground(mask, vertex, max_num, k1)
+    hyps = generate_hypotheses(fg, hyp_num, k2)
+    counts = count_inliers(fg, hyps, inlier_thresh, impl=impl)
+    return hyps, counts
+
+
 def ransac_motion_voting(mask: jnp.ndarray, vertex: jnp.ndarray,
                          key: jax.Array, max_num: int = 4096) -> jnp.ndarray:
     """Offset-field voting without RANSAC: mean of (pixel + offset) over the

@@ -239,3 +239,70 @@ class TestMotionVoting:
             jnp.asarray(mask)[None], jnp.asarray(vertex)[None],
             jax.random.PRNGKey(0), max_num=256)
         np.testing.assert_allclose(np.asarray(pts[0]), target, atol=1e-3)
+
+
+class TestVotingV4:
+    def test_variance_reflects_noise(self, rng):
+        import pvnet_tpu.ops.voting as voting
+        clean = make_field(96, 96, KPTS, (30, 60, 20, 70))
+        noisy = make_field(96, 96, KPTS, (30, 60, 20, 70), noise=0.05,
+                           rng=rng)
+        import jax
+        key = jax.random.PRNGKey(0)
+        _, var_clean = voting.ransac_voting_v4(
+            jnp.asarray(clean[0])[None], jnp.asarray(clean[1])[None], key,
+            hyp_num=256, max_num=256, impl="xla")
+        _, var_noisy = voting.ransac_voting_v4(
+            jnp.asarray(noisy[0])[None], jnp.asarray(noisy[1])[None], key,
+            hyp_num=256, max_num=256, impl="xla")
+        assert np.asarray(var_noisy).mean() > np.asarray(var_clean).mean()
+
+    def test_empty_mask_var_one(self):
+        import pvnet_tpu.ops.voting as voting
+        import jax
+        mask = jnp.zeros((1, 32, 32), jnp.int32)
+        vertex = jnp.zeros((1, 32, 32, 2, 2), jnp.float32)
+        pts, var = voting.ransac_voting_v4(mask, vertex,
+                                           jax.random.PRNGKey(0),
+                                           hyp_num=64, max_num=64,
+                                           impl="xla")
+        np.testing.assert_allclose(np.asarray(pts), 0.0)
+        np.testing.assert_allclose(np.asarray(var), 1.0)
+
+
+class TestMulticlass:
+    def test_two_classes_recovered(self, rng):
+        import pvnet_tpu.ops.voting as voting
+        import jax
+        # class 1 in the left half, class 2 in the right half, each with
+        # its own keypoint set
+        kpts1 = np.array([[20.0, 30.0], [40.0, 60.0]], np.float32)
+        kpts2 = np.array([[90.0, 30.0], [110.0, 60.0]], np.float32)
+        m1, v1 = make_field(96, 128, kpts1, (20, 70, 10, 50))
+        m2, v2 = make_field(96, 128, kpts2, (20, 70, 80, 120))
+        mask = m1 + m2 * 2
+        vertex = v1 + v2
+        pts = voting.ransac_voting_multiclass(
+            jnp.asarray(mask)[None], jnp.asarray(vertex)[None],
+            jax.random.PRNGKey(0), class_num=3, hyp_num=256, max_num=256,
+            impl="xla")
+        assert pts.shape == (1, 2, 2, 2)
+        np.testing.assert_allclose(np.asarray(pts[0, 0]), kpts1, atol=1.0)
+        np.testing.assert_allclose(np.asarray(pts[0, 1]), kpts2, atol=1.0)
+
+
+class TestHypothesisViz:
+    def test_counts_peak_near_keypoints(self):
+        import pvnet_tpu.ops.voting as voting
+        import jax
+        mask, vertex = make_field(96, 96, KPTS, (30, 60, 20, 70))
+        hyps, counts = voting.generate_hypotheses_with_counts(
+            jnp.asarray(mask)[None], jnp.asarray(vertex)[None],
+            jax.random.PRNGKey(0), hyp_num=128, max_num=256, impl="xla")
+        assert hyps.shape == (1, 128, 3, 2)
+        assert counts.shape == (1, 128, 3)
+        # best-counted hypothesis per keypoint is near the true keypoint
+        best = np.asarray(jnp.take_along_axis(
+            hyps, jnp.argmax(counts, axis=1)[:, None, :, None],
+            axis=1))[0, 0]
+        np.testing.assert_allclose(best, KPTS, atol=2.0)

@@ -33,6 +33,8 @@ def main():
     p.add_argument("--output", default="demo_out.png")
     args = p.parse_args()
 
+    from pvnet_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     from PIL import Image

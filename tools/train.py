@@ -51,6 +51,8 @@ def parse_args():
 def main():
     args = parse_args()
 
+    from pvnet_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     from pvnet_tpu.config import (OCC_LINEMOD_CLS_NAMES, PathConfig,
                                   TrainConfig)
     from pvnet_tpu.data.linemod import (LineModImageDB,
