@@ -567,6 +567,146 @@ def generate_hypotheses_with_counts(mask: jnp.ndarray, vertex: jnp.ndarray,
     return hyps, counts
 
 
+# ---------------------------------------------------------------------------
+# Vanishing-point voting (homogeneous 3-vector hypotheses)
+# ---------------------------------------------------------------------------
+
+def generate_vanishing_hypotheses(fg: ForegroundSample, hn: int,
+                                  key: jax.Array) -> jnp.ndarray:
+    """Homogeneous vanishing-point hypotheses from pixel pairs.
+
+    Mirrors generate_hypothesis_vanishing_point_kernel
+    (ref ransac_voting_kernel.cu:170-229): lines l_i = (dy, -dx,
+    cy*dx - cx*dy) in homogeneous form, intersection = cross(l0, l1), with
+    the kernel's direction-consistency sign fix and zeroing of
+    inconsistent (non-intersecting-ray) pairs.
+
+    Returns [b, hn, vn, 3].
+    """
+    b, tn, vn, _ = fg.dirs.shape
+    count = jnp.maximum(fg.count, 1)[:, None, None]
+    u = jax.random.uniform(key, (b, hn, vn, 2), dtype=jnp.float32)
+    idx = jnp.minimum((u * count[..., None]).astype(jnp.int32),
+                      (count - 1)[..., None])
+    idx0, idx1 = idx[..., 0], idx[..., 1]
+
+    def gather_pair(i):
+        c = jnp.take_along_axis(fg.coords, i.reshape(b, hn * vn)[..., None],
+                                axis=1).reshape(b, hn, vn, 2)
+        d = jnp.take_along_axis(fg.dirs, i[..., None], axis=1)
+        return c, d
+
+    c0, d0 = gather_pair(idx0)
+    c1, d1 = gather_pair(idx1)
+    dx0, dy0 = d0[..., 0], d0[..., 1]
+    dx1, dy1 = d1[..., 0], d1[..., 1]
+    cx0, cy0 = c0[..., 0], c0[..., 1]
+    cx1, cy1 = c1[..., 0], c1[..., 1]
+
+    lx0, ly0, lz0 = dy0, -dx0, cy0 * dx0 - cx0 * dy0
+    lx1, ly1, lz1 = dy1, -dx1, cy1 * dx1 - cx1 * dy1
+
+    x = ly0 * lz1 - lz0 * ly1
+    y = lz0 * lx1 - lx0 * lz1
+    z = lx0 * ly1 - ly0 * lx1
+
+    val_x0 = dx0 * (x - z * cx0)
+    val_x1 = dx1 * (x - z * cx1)
+    val_y0 = dy0 * (y - z * cy0)
+    val_y1 = dy1 * (y - z * cy1)
+
+    flip = (val_x0 < 0) & (val_x1 < 0) & (val_y0 < 0) & (val_y1 < 0)
+    sign = jnp.where(flip, -1.0, 1.0)
+    bad = (val_x0 * val_x1 < 0) | (val_y0 * val_y1 < 0)
+    hyp = jnp.stack([x, y, z], axis=-1) * sign[..., None]
+    return jnp.where(bad[..., None], 0.0, hyp)
+
+
+def vanishing_inliers_for_points(fg: ForegroundSample, pts: jnp.ndarray,
+                                 thresh: float) -> jnp.ndarray:
+    """Inlier mask of pixels w.r.t. homogeneous points [b, vn(, hn), 3].
+
+    Mirrors voting_for_hypothesis_vanishing_point_kernel
+    (ref ransac_voting_kernel.cu:268-310): diff = (hx - cx*hz, hy - cy*hz),
+    both per-axis direction products must be >= 0 and |cos| > thresh.
+
+    pts [b, hn, vn, 3] -> bool [b, hn, vn, tn]; pts [b, vn, 3] treated as
+    hn = 1 and squeezed.
+    """
+    squeeze = pts.ndim == 3
+    if squeeze:
+        pts = pts[:, None]
+    cx = fg.coords[:, None, None, :, 0]                  # [b,1,1,tn]
+    cy = fg.coords[:, None, None, :, 1]
+    dx = jnp.transpose(fg.dirs[..., 0], (0, 2, 1))[:, None]  # [b,1,vn,tn]
+    dy = jnp.transpose(fg.dirs[..., 1], (0, 2, 1))[:, None]
+    hx = pts[..., 0][..., None]                          # [b,hn,vn,1]
+    hy = pts[..., 1][..., None]
+    hz = pts[..., 2][..., None]
+
+    diff_x = hx - cx * hz
+    diff_y = hy - cy * hz
+    n1sq = dx * dx + dy * dy
+    n2sq = diff_x * diff_x + diff_y * diff_y
+    dot = dx * diff_x + dy * diff_y
+    t2 = thresh * thresh
+    ok = ((dot * dot > t2 * n1sq * n2sq)
+          & (diff_x * dx >= 0) & (diff_y * dy >= 0)
+          & (n1sq > _NORM_EPS_SQ) & (n2sq > _NORM_EPS_SQ)
+          & fg.valid[:, None, None, :])
+    return ok[:, 0] if squeeze else ok
+
+
+def ransac_voting_vanish_point(mask: jnp.ndarray, vertex: jnp.ndarray,
+                               key: jax.Array, hyp_num: int = 1024,
+                               inlier_thresh: float = 0.999,
+                               max_num: int = 1024, min_num: int = 5
+                               ) -> jnp.ndarray:
+    """Vanishing-point RANSAC with SVD refinement
+    (ref ransac_voting_gpu.py:408-501, minus that function's undefined
+    class_num bug — this is the single-class batched form).
+
+    Returns [b, vn, 3] unit homogeneous vanishing points.
+    """
+    k1, k2 = jax.random.split(key)
+    fg = sample_foreground(mask, vertex, max_num, k1)
+    hyps = generate_vanishing_hypotheses(fg, hyp_num, k2)
+
+    inl = vanishing_inliers_for_points(fg, hyps, inlier_thresh)
+    counts = jnp.sum(inl, axis=-1)                       # [b, hn, vn]
+    hyps = hyps / jnp.maximum(
+        jnp.linalg.norm(hyps, axis=-1, keepdims=True), 1e-12)
+    win_idx = jnp.argmax(counts, axis=1)                 # [b, vn]
+    win = jnp.take_along_axis(hyps, win_idx[:, None, :, None],
+                              axis=1)[:, 0]              # [b, vn, 3]
+
+    # refine: smallest right-singular vector of H = [-n | n.c] over inliers
+    # (ref :469-491), via eigh of the 3x3 normal matrix
+    winl = vanishing_inliers_for_points(fg, win, inlier_thresh)
+    w = winl.astype(jnp.float32)                         # [b, vn, tn]
+    nx = jnp.transpose(fg.dirs[..., 1], (0, 2, 1))       # normal=(dy,-dx)
+    ny = -jnp.transpose(fg.dirs[..., 0], (0, 2, 1))
+    nc = nx * fg.coords[:, None, :, 0] + ny * fg.coords[:, None, :, 1]
+    H = jnp.stack([-nx, -ny, nc], axis=-1) * w[..., None]  # [b, vn, tn, 3]
+    HtH = jnp.einsum("bvti,bvtj->bvij", H, H)
+    _, evec = jnp.linalg.eigh(HtH)
+    refined = evec[..., 0]                               # [b, vn, 3]
+
+    # direction correction: align with the consensus pixel directions
+    # (the reference checks the first inlier's sign, ref :486-487; the
+    # inlier-averaged test is equivalent for a consistent set)
+    dxs = jnp.transpose(fg.dirs[..., 0], (0, 2, 1))
+    score = jnp.sum(w * dxs * (refined[..., 0:1]
+                               - refined[..., 2:3] * fg.coords[:, None, :, 0]),
+                    axis=-1)
+    refined = refined * jnp.where(score < 0, -1.0, 1.0)[..., None]
+
+    enough = jnp.sum(w, axis=-1) >= 2
+    out = jnp.where(enough[..., None], refined, win)
+    ok = (fg.total >= min_num)[:, None, None]
+    return jnp.where(ok, out, 0.0)
+
+
 def ransac_motion_voting(mask: jnp.ndarray, vertex: jnp.ndarray,
                          key: jax.Array, max_num: int = 4096) -> jnp.ndarray:
     """Offset-field voting without RANSAC: mean of (pixel + offset) over the

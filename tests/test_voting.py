@@ -306,3 +306,60 @@ class TestHypothesisViz:
             hyps, jnp.argmax(counts, axis=1)[:, None, :, None],
             axis=1))[0, 0]
         np.testing.assert_allclose(best, KPTS, atol=2.0)
+
+
+class TestVanishingPoint:
+    def test_recovers_finite_intersection(self):
+        """For a finite target point, the homogeneous VP voting must agree
+        with the euclidean keypoint (x/z, y/z)."""
+        import jax
+        from pvnet_tpu.ops import voting
+        mask, vertex = make_field(128, 128, KPTS, BOX)
+        vp = voting.ransac_voting_vanish_point(
+            jnp.asarray(mask)[None], jnp.asarray(vertex)[None],
+            jax.random.PRNGKey(0), hyp_num=256, max_num=256)
+        vp = np.asarray(vp[0])
+        pts = vp[:, :2] / vp[:, 2:]
+        np.testing.assert_allclose(pts, KPTS, atol=1.0)
+
+    def test_parallel_field_gives_point_at_infinity(self):
+        """All pixels share one direction -> rays never intersect; the
+        vanishing point must have |z| << |xy| (direction at infinity)."""
+        import jax
+        from pvnet_tpu.ops import voting
+        h = w = 64
+        mask = np.zeros((h, w), np.int32)
+        mask[20:44, 20:44] = 1
+        d = np.array([0.6, 0.8], np.float32)
+        vertex = np.zeros((h, w, 1, 2), np.float32)
+        vertex[mask == 1, 0] = d
+        vp = voting.ransac_voting_vanish_point(
+            jnp.asarray(mask)[None], jnp.asarray(vertex)[None],
+            jax.random.PRNGKey(0), hyp_num=128, max_num=256)
+        vp = np.asarray(vp[0, 0])
+        assert abs(vp[2]) < 0.05 * np.linalg.norm(vp[:2])
+        # direction matches the field
+        dir_norm = vp[:2] / np.linalg.norm(vp[:2])
+        np.testing.assert_allclose(np.abs(dir_norm @ d), 1.0, atol=1e-2)
+
+    def test_empty_mask_zeros(self):
+        import jax
+        from pvnet_tpu.ops import voting
+        vp = voting.ransac_voting_vanish_point(
+            jnp.zeros((1, 32, 32), jnp.int32),
+            jnp.zeros((1, 32, 32, 2, 2), jnp.float32),
+            jax.random.PRNGKey(0), hyp_num=64, max_num=64)
+        np.testing.assert_allclose(np.asarray(vp), 0.0)
+
+
+class TestDetectorModels:
+    def test_detector_shapes(self, rng):
+        import jax
+        from pvnet_tpu.models.detector import Detector, DetectorV2
+        x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+        for cls in (Detector, DetectorV2):
+            model = cls()
+            v = model.init(jax.random.PRNGKey(0), x, train=False)
+            out = model.apply(v, x, train=False)
+            assert out.shape == (1, 8, 8, 1)
+            assert out.dtype == jnp.float32
