@@ -65,6 +65,17 @@ def make_grid(imgs: np.ndarray, nrow: int = 5, pad: int = 2) -> np.ndarray:
     return grid
 
 
+def img_pts_to_pts_img(img_pts: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Splat 2D points into a binary [h, w] image
+    (ref draw_utils.py:309-320)."""
+    out = np.zeros((h, w), np.uint8)
+    xs = np.round(img_pts[:, 0]).astype(np.int64)
+    ys = np.round(img_pts[:, 1]).astype(np.int64)
+    keep = (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
+    out[ys[keep], xs[keep]] = 1
+    return out
+
+
 def draw_bbox_edges(ax, corners_2d: np.ndarray, color: str = "g") -> None:
     """Draw the 12 edges of a projected 3D box on a matplotlib axis."""
     for a, b in _BOX_EDGES:
