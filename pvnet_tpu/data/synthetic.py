@@ -54,13 +54,21 @@ def _euler_to_R(azi, ele, theta):
 
 def make_duck_mesh(n_theta: int = 16, n_phi: int = 24, scale: float = 0.05
                    ) -> PlyMesh:
-    """A lumpy ellipsoid ("duck") test object, ~0.1 m across."""
+    """A lumpy, asymmetric test object, ~0.1 m across.
+
+    Shape and coloring must both be asymmetric: pose from keypoint voting
+    is only learnable when views are visually distinguishable (a symmetric
+    untextured blob makes the direction-field regression ill-posed).
+    """
     verts = []
     for i in range(n_theta + 1):
         th = np.pi * i / n_theta
         for j in range(n_phi):
             ph = 2 * np.pi * j / n_phi
-            r = 1.0 + 0.25 * np.sin(3 * ph) * np.sin(2 * th)
+            # one-sided bump + an off-axis dent break every symmetry
+            r = (1.0
+                 + 0.35 * np.exp(-((ph - 1.0) ** 2 + (th - 1.2) ** 2) / 0.3)
+                 - 0.25 * np.exp(-((ph - 4.0) ** 2 + (th - 2.0) ** 2) / 0.5))
             x = r * np.sin(th) * np.cos(ph)
             y = 0.8 * r * np.sin(th) * np.sin(ph)
             z = 1.2 * r * np.cos(th)
@@ -75,8 +83,14 @@ def make_duck_mesh(n_theta: int = 16, n_phi: int = 24, scale: float = 0.05
             d = (i + 1) * n_phi + (j + 1) % n_phi
             faces.append([a, b, c])
             faces.append([b, d, c])
-    colors = np.tile(np.array([[200, 180, 60]], np.uint8),
-                     (verts.shape[0], 1))
+    # position-keyed octant texture so every viewpoint looks distinct
+    ext = verts.max(0) - verts.min(0)
+    rel = (verts - verts.min(0)) / np.maximum(ext, 1e-9)
+    colors = np.stack([
+        60 + 180 * rel[:, 0],
+        40 + 200 * rel[:, 1],
+        50 + 170 * np.abs(np.sin(rel[:, 2] * 6.0)),
+    ], axis=-1).astype(np.uint8)
     return PlyMesh(vertices=verts, faces=np.asarray(faces, np.int32),
                    colors=colors)
 
@@ -85,18 +99,23 @@ def render_synthetic_view(mesh: PlyMesh, pose: np.ndarray, K: np.ndarray,
                           h: int, w: int,
                           rng: Optional[np.random.RandomState] = None
                           ) -> Tuple[np.ndarray, np.ndarray]:
-    """(rgb uint8 [h, w, 3], mask uint8 [h, w]) via the numpy z-buffer."""
-    depth = render_mesh_depth(pose, K, mesh.vertices, mesh.faces, h, w)
-    mask = (depth > 0).astype(np.uint8)
+    """(rgb uint8 [h, w, 3], mask uint8 [h, w]) via the numpy z-buffer,
+    with per-vertex colors barycentrically interpolated and depth-shaded."""
+    from pvnet_tpu.ops.rasterize import render_mesh_attributes
     rng = rng or np.random.RandomState(0)
+    if mesh.colors is not None:
+        attrs = mesh.colors.astype(np.float32)
+    else:
+        attrs = np.full((mesh.vertices.shape[0], 3), 180.0, np.float32)
+    color_img, depth = render_mesh_attributes(
+        pose, K, mesh.vertices, mesh.faces, attrs, h, w)
+    mask = (depth > 0).astype(np.uint8)
     rgb = rng.randint(0, 80, (h, w, 3)).astype(np.uint8)  # noisy background
     if mask.any():
         zmin, zmax = depth[mask > 0].min(), depth[mask > 0].max()
-        shade = 1.0 - 0.6 * (depth - zmin) / max(zmax - zmin, 1e-6)
-        for c, base in enumerate((200, 180, 60)):
-            ch = rgb[..., c].astype(np.float32)
-            ch[mask > 0] = base * shade[mask > 0]
-            rgb[..., c] = np.clip(ch, 0, 255).astype(np.uint8)
+        shade = 1.0 - 0.5 * (depth - zmin) / max(zmax - zmin, 1e-6)
+        shaded = np.clip(color_img * shade[..., None], 0, 255)
+        rgb[mask > 0] = shaded[mask > 0].astype(np.uint8)
     return rgb, mask
 
 

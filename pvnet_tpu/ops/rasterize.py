@@ -48,9 +48,41 @@ def render_mesh_depth(RT: np.ndarray, K: np.ndarray, vert: np.ndarray,
     return depth
 
 
+def render_mesh_attributes(RT: np.ndarray, K: np.ndarray, vert: np.ndarray,
+                           face: np.ndarray, attrs: np.ndarray, h: int,
+                           w: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Z-buffered render of per-vertex attributes (e.g. colors).
+
+    The working replacement for the reference's commented-out
+    render_rgb_cffi path (ref extend_utils/src/utils_python_binding.h:44-63)
+    and the OpenGL color renderer (ref opengl_render_backend.py).
+
+    Args:
+      attrs: [n_vert, c] per-vertex attributes, barycentrically
+        interpolated.
+    Returns:
+      (attr image [h, w, c] float32 — zeros at background, depth [h, w]).
+    """
+    cam = vert @ RT[:, :3].T + RT[:, 3]
+    uvw = cam @ K.T
+    z = cam[:, 2]
+    uv = uvw[:, :2] / np.maximum(uvw[:, 2:], 1e-9)
+    tri2d = uv[face]
+    triz = z[face]
+    triattr = attrs[face]                   # [tn, 3, c]
+    depth = np.full((h, w), np.inf, np.float32)
+    attr_img = np.zeros((h, w, attrs.shape[1]), np.float32)
+    _rasterize(tri2d, triz, h, w, depth_out=depth, triattr=triattr,
+               attr_out=attr_img)
+    depth[np.isinf(depth)] = 0.0
+    return attr_img, depth
+
+
 def _rasterize(tri2d: np.ndarray, triz: Optional[np.ndarray], h: int, w: int,
                mask_out: Optional[np.ndarray] = None,
-               depth_out: Optional[np.ndarray] = None) -> None:
+               depth_out: Optional[np.ndarray] = None,
+               triattr: Optional[np.ndarray] = None,
+               attr_out: Optional[np.ndarray] = None) -> None:
     """Shared barycentric scanline over per-triangle bboxes."""
     tn = tri2d.shape[0]
     for t in range(tn):
@@ -84,3 +116,9 @@ def _rasterize(tri2d: np.ndarray, triz: Optional[np.ndarray], h: int, w: int,
             sub = depth_out[ymin:ymax + 1, xmin:xmax + 1]
             upd = inside & (zvals < sub)
             sub[upd] = zvals[upd].astype(np.float32)
+            if attr_out is not None and triattr is not None:
+                avals = (l0[..., None] * triattr[t, 0]
+                         + l1[..., None] * triattr[t, 1]
+                         + l2[..., None] * triattr[t, 2])
+                asub = attr_out[ymin:ymax + 1, xmin:xmax + 1]
+                asub[upd] = avals[upd].astype(np.float32)
