@@ -86,10 +86,16 @@ def main():
         mask, vertex = pl_mod.predict_fields(
             model.apply, variables, jnp.asarray(img)[None])
 
-    kps = ransac_voting_v3(mask, vertex, key, hyp_num=args.hyp_num,
-                           max_num=1024)
-    pose_pred = pl_mod.poses_from_keypoints(
-        jnp.asarray(pts3d), kps, jnp.asarray(LINEMOD_K))[0]
+    @jax.jit
+    def vote_and_solve(mask, vertex, key):
+        kps = ransac_voting_v3(mask, vertex, key, hyp_num=args.hyp_num,
+                               max_num=1024)
+        pose = pl_mod.poses_from_keypoints(
+            jnp.asarray(pts3d), kps, jnp.asarray(LINEMOD_K))
+        return kps, pose
+
+    kps, poses = vote_and_solve(mask, vertex, key)
+    pose_pred = poses[0]
 
     corners_pred = np.asarray(geo.project(
         jnp.asarray(bb8), pose_pred, jnp.asarray(LINEMOD_K)))
