@@ -120,3 +120,23 @@ def make_pose_pipeline(apply_fn, points_3d, K,
         return pose, kps
 
     return run
+
+
+def make_sharded_pose_pipeline(mesh, apply_fn, points_3d, K,
+                               params: VoteParams = VoteParams(),
+                               uncertainty: bool = False,
+                               impl: Optional[str] = None):
+    """Data-parallel fused inference over a device mesh.
+
+    Variables replicated, images split on dim 0 over the 'data' axis —
+    pose throughput scales linearly with chips since voting and PnP are
+    per-image (no cross-image collectives). The reference's analog is
+    DataParallel around its EvalWrapper (ref train_linemod.py:183-184).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    run = make_pose_pipeline(apply_fn, points_3d, K, params, uncertainty,
+                             impl)
+    return jax.jit(run, in_shardings=(repl, data, repl),
+                   out_shardings=(data, data))

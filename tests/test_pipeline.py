@@ -76,3 +76,26 @@ class TestFusedPipeline:
             assert ang < 0.5
             assert float(jnp.linalg.norm(
                 poses[i, :, 3] - jnp.asarray(pose_gt[:, 3]))) < 5e-3
+
+
+class TestShardedPipeline:
+    def test_8_device_inference(self, rng):
+        """Fused image->pose sharded over the virtual 8-device mesh."""
+        from pvnet_tpu.parallel import make_mesh, replicate, shard_batch
+        assert len(jax.devices()) == 8
+        mesh = make_mesh()
+        model = build_model("resnet18_8s", ver_dim=18)
+        x = jnp.asarray(rng.randn(8, 64, 64, 3).astype(np.float32))
+        variables = model.init(jax.random.PRNGKey(0), x[:1], train=False)
+        pts3d = rng.uniform(-0.05, 0.05, (9, 3)).astype(np.float32)
+        run = pl_mod.make_sharded_pose_pipeline(
+            mesh, model.apply, pts3d, LINEMOD_K,
+            params=pl_mod.VoteParams(hyp_num=128, max_num=128), impl="xla")
+        variables = replicate(variables, mesh)
+        xs = shard_batch(x, mesh)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        key = jax.device_put(jax.random.PRNGKey(1),
+                             NamedSharding(mesh, P()))
+        pose, kps = run(variables, xs, key)
+        assert pose.shape == (8, 3, 4)
+        assert np.all(np.isfinite(np.asarray(pose)))
