@@ -191,40 +191,103 @@ def color_jitter(img: np.ndarray, brightness: float, contrast: float,
     saturation factors drawn from [1-x, 1+x], additive hue in [-hue, hue]
     turns, applied in random order.
     """
-    img = img.astype(np.float32) / 255.0
-    ops = []
-    if brightness > 0:
-        f = rng.uniform(max(0, 1 - brightness), 1 + brightness)
-        ops.append(("b", f))
-    if contrast > 0:
-        f = rng.uniform(max(0, 1 - contrast), 1 + contrast)
-        ops.append(("c", f))
-    if saturation > 0:
-        f = rng.uniform(max(0, 1 - saturation), 1 + saturation)
-        ops.append(("s", f))
-    if hue > 0:
-        f = rng.uniform(-hue, hue)
-        ops.append(("h", f))
-    rng.shuffle(ops)
-    for op, f in ops:
-        if op == "b":
-            img = img * f
-        elif op == "c":
-            gray = cv2.cvtColor((np.clip(img, 0, 1) * 255).astype(np.uint8),
-                                cv2.COLOR_RGB2GRAY).mean() / 255.0
-            img = gray + f * (img - gray)
-        elif op == "s":
-            gray = cv2.cvtColor((np.clip(img, 0, 1) * 255).astype(np.uint8),
-                                cv2.COLOR_RGB2GRAY)[..., None] / 255.0
-            img = gray + f * (img - gray)
-        elif op == "h":
-            hsv = cv2.cvtColor((np.clip(img, 0, 1) * 255).astype(np.uint8),
-                               cv2.COLOR_RGB2HSV).astype(np.float32)
-            hsv[..., 0] = (hsv[..., 0] + f * 180.0) % 180.0
-            img = cv2.cvtColor(hsv.astype(np.uint8),
-                               cv2.COLOR_HSV2RGB).astype(np.float32) / 255.0
-        img = np.clip(img, 0, 1)
-    return (img * 255.0).astype(np.uint8)
+    fb = rng.uniform(max(0, 1 - brightness), 1 + brightness) \
+        if brightness > 0 else 1.0
+    fc = rng.uniform(max(0, 1 - contrast), 1 + contrast) \
+        if contrast > 0 else 1.0
+    fs = rng.uniform(max(0, 1 - saturation), 1 + saturation) \
+        if saturation > 0 else 1.0
+    fh = rng.uniform(-hue, hue) if hue > 0 else 0.0
+
+    # brightness/contrast/saturation compose into one fused-multiply-add:
+    #   x' = a*x + b*gray(x) + c   with
+    #   a = fb*fc*fs, b = fb*fc*(1-fs), c = fb*(1-fc)*mean_gray
+    # (single pass instead of the reference transform stack's per-op
+    # full-image passes + clips; identical up to op ordering, which is
+    # random in torchvision anyway)
+    gray = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
+    a = fb * fc * fs
+    bcoef = fb * fc * (1.0 - fs)
+    ccoef = fb * (1.0 - fc) * float(gray.mean())
+    out = a * img.astype(np.float32) \
+        + bcoef * gray.astype(np.float32)[..., None] + ccoef
+    out = np.clip(out, 0, 255).astype(np.uint8)
+
+    if fh != 0.0:
+        hsv = cv2.cvtColor(out, cv2.COLOR_RGB2HSV)
+        hshift = np.uint8(int(fh * 180.0) % 180)
+        hsv[..., 0] = (hsv[..., 0] + hshift) % 180
+        out = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
+    return out
+
+
+def fused_rotate_crop_resize(img, mask, hcoords, imheight, imwidth,
+                             rot_ang_min, rot_ang_max, overlap_ratio,
+                             ratio_min, ratio_max, rng):
+    """One-warp equivalent of rotate_instance + crop_or_padding_to_
+    fixed_size_instance + resize (the reference's use_old=true train path,
+    ref augmentation.py:55-64,118-158,250-279) composed into a single
+    affine map sampled directly at the target size.
+
+    The reference warps the full 480x640 frame twice and then resizes; on a
+    single-core host that triple pass dominates training step time. The
+    composed warp is the same affine transform (one bilinear resampling
+    instead of two, which only *reduces* interpolation blur); the crop
+    range is computed from the rotated bbox corners rather than the
+    rotated mask rasterization — identical when the instance bbox is
+    tight, and only the random crop-offset distribution shifts slightly
+    otherwise.
+    """
+    h, w = img.shape[0], img.shape[1]
+    hs, ws = np.nonzero(mask)
+    cx, cy = float(np.mean(ws)), float(np.mean(hs))
+
+    degree = rng.uniform(rot_ang_min, rot_ang_max)
+    R = cv2.getRotationMatrix2D((cx, cy), degree, 1)      # src -> rotated
+
+    # rotated-frame instance bbox from the corner transform
+    corners = np.array([[ws.min(), hs.min(), 1], [ws.min(), hs.max(), 1],
+                        [ws.max(), hs.min(), 1], [ws.max(), hs.max(), 1]],
+                       np.float64)
+    rc = corners @ R.T                                    # [4, 2]
+    wmin, wmax = rc[:, 0].min(), rc[:, 0].max()
+    hmin, hmax = rc[:, 1].min(), rc[:, 1].max()
+    fh, fw = hmax - hmin, wmax - wmin
+
+    resize_ratio = rng.uniform(ratio_min, ratio_max)
+    th = int(imheight * resize_ratio)
+    tw = int(imwidth * resize_ratio)
+
+    hpad, wpad = th >= h, tw >= w
+    hrmax = int(min(hmin + overlap_ratio * fh, h - th))
+    hrmin = int(max(hmin + overlap_ratio * fh - th, 0))
+    wrmax = int(min(wmin + overlap_ratio * fw, w - tw))
+    wrmin = int(max(wmin + overlap_ratio * fw - tw, 0))
+    if hpad:
+        hbeg = -((th - h) // 2)
+    else:
+        hbeg = rng.randint(hrmin, max(hrmax, hrmin + 1))
+    if wpad:
+        wbeg = -((tw - w) // 2)
+    else:
+        wbeg = rng.randint(wrmin, max(wrmax, wrmin + 1))
+
+    # full map: resize(1/ratio) o translate(-beg) o rotate
+    s = 1.0 / resize_ratio
+    M = R.copy()
+    M[0] = (R[0] - np.array([0, 0, wbeg])) * s
+    M[1] = (R[1] - np.array([0, 0, hbeg])) * s
+
+    img = cv2.warpAffine(img, M, (imwidth, imheight),
+                         flags=cv2.INTER_LINEAR,
+                         borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+    mask = cv2.warpAffine(mask, M, (imwidth, imheight),
+                          flags=cv2.INTER_NEAREST,
+                          borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+    last_row = np.asarray([[0, 0, 1]], np.float32)
+    hcoords = np.matmul(hcoords,
+                        np.concatenate([M, last_row], 0).transpose())
+    return img, mask, hcoords
 
 
 def add_noise(image, rng):

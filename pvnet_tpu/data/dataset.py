@@ -121,7 +121,8 @@ class PoseDataset:
                  augment: bool = False,
                  aug_cfg: Optional[AugConfig] = None,
                  use_intrinsic: bool = False, use_motion: bool = False,
-                 host_vertex: bool = False, seed: int = 0):
+                 host_vertex: bool = False, seed: int = 0,
+                 fast_aug: bool = True):
         self.imagedb = list(imagedb)
         self.data_prefix = data_prefix
         self.vote_type = vote_type
@@ -130,6 +131,7 @@ class PoseDataset:
         self.use_intrinsic = use_intrinsic
         self.use_motion = use_motion
         self.host_vertex = host_vertex
+        self.fast_aug = fast_aug
         self.rng = np.random.RandomState(seed)
 
     def __len__(self) -> int:
@@ -194,6 +196,16 @@ class PoseDataset:
             img, mask = A.mask_out_instance(img, mask, cfg.min_mask,
                                             cfg.max_mask, rng)
         if foreground > 0:
+            if (self.fast_aug and cfg.rotation and cfg.crop
+                    and cfg.use_old and np.sum(mask) > 0):
+                # single-warp fused path (same affine; see augment.py)
+                img, mask, hcoords = A.fused_rotate_crop_resize(
+                    img, mask, hcoords, height, width, cfg.rot_ang_min,
+                    cfg.rot_ang_max, cfg.overlap_ratio,
+                    cfg.resize_ratio_min, cfg.resize_ratio_max, rng)
+                if cfg.flip and rng.random() < 0.5:
+                    img, mask, hcoords = A.flip(img, mask, hcoords)
+                return img, mask, hcoords
             if cfg.rotation:
                 img, mask, hcoords = A.rotate_instance(
                     img, mask, hcoords, cfg.rot_ang_min, cfg.rot_ang_max,

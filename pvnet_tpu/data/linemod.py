@@ -41,8 +41,12 @@ def save_pickle(data, path):
 
 
 def read_rgb_np(path: str) -> np.ndarray:
-    img = Image.open(path).convert("RGB")
-    return np.array(img, np.uint8)
+    import cv2
+    img = cv2.imread(path, cv2.IMREAD_COLOR)   # faster decode than PIL
+    if img is None:
+        img = np.array(Image.open(path).convert("RGB"), np.uint8)
+        return img
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
 
 def read_mask_np(path: str) -> np.ndarray:

@@ -284,3 +284,65 @@ class TestVotingType:
         uv = project_np(pts3d, rec["RT"], LINEMOD_K)
         h2d = VotingType.get_data_pts_2d(VotingType.Farthest, rec)
         np.testing.assert_allclose(uv, h2d[:, :2], atol=1e-3)
+
+
+class TestFusedAug:
+    def _fixture(self, rng):
+        img = rng.randint(0, 255, (480, 640, 3)).astype(np.uint8)
+        mask = np.zeros((480, 640), np.int32)
+        mask[180:300, 250:400] = 1
+        kp = np.array([[300.0, 220.0, 1.0], [380.0, 280.0, 1.0]],
+                      np.float32)
+        return img, mask, kp
+
+    class _FixedRng:
+        """Deterministic rng stub feeding preset transform params into
+        both augmentation paths so they can be compared directly."""
+
+        def __init__(self, uniforms, randints):
+            self.u = list(uniforms)
+            self.r = list(randints)
+
+        def uniform(self, lo, hi, *a):
+            return float(np.clip(self.u.pop(0), lo, hi))
+
+        def randint(self, lo, hi=None):
+            v = self.r.pop(0)
+            if hi is None:
+                lo, hi = 0, lo
+            return int(np.clip(v, lo, hi - 1))
+
+        def random(self):
+            return 0.9
+
+    def test_matches_reference_path_same_params(self, rng):
+        """Under identical (degree, ratio, crop offsets) the fused warp
+        must equal rotate_instance + crop_resize_instance_v1: keypoints to
+        float precision, masks to boundary-interpolation IoU."""
+        img, mask, kp = self._fixture(rng)
+        for deg, ratio, hb, wb in [(12.0, 1.0, 150, 200),
+                                   (-20.0, 0.9, 160, 230),
+                                   (25.0, 1.15, 140, 180)]:
+            i1, m1, k1 = A.fused_rotate_crop_resize(
+                img, mask, kp.copy(), 256, 256, -30, 30, 0.8, 0.8, 1.2,
+                self._FixedRng([deg, ratio], [hb, wb]))
+            i2, m2, k2 = A.rotate_instance(img, mask, kp.copy(), -30, 30,
+                                           self._FixedRng([deg], []))
+            i2, m2, k2 = A.crop_resize_instance_v1(
+                i2, m2, k2, 256, 256, 0.8, 0.8, 1.2,
+                self._FixedRng([ratio], [hb, wb]))
+            np.testing.assert_allclose(k1, k2, atol=1e-4)
+            inter = np.logical_and(m1 > 0, m2 > 0).sum()
+            union = np.logical_or(m1 > 0, m2 > 0).sum()
+            assert inter / max(union, 1) > 0.97
+
+    def test_dataset_fast_path_runs(self, synth):
+        db = LineModImageDB("duck", has_render_set=False,
+                            has_fuse_set=False, paths=synth)
+        cfg = AugConfig(hmin=96, hmax=96, wmin=96, wmax=96)
+        ds = PoseDataset(db.train_real_set, synth.linemod_dir,
+                         VotingType.Farthest, augment=True, aug_cfg=cfg,
+                         fast_aug=True)
+        s = ds[(0, 96, 96)]
+        assert s.rgb.shape == (96, 96, 3)
+        assert s.mask.sum() > 0
