@@ -24,7 +24,6 @@ from pvnet_tpu.config import (AugConfig, PathConfig, TrainConfig,
 from pvnet_tpu.data.dataset import (ImageSizeBatchSampler, PoseDataset,
                                     Prefetcher, VotingType, collate)
 from pvnet_tpu.data.linemod import LineModModelDB
-from pvnet_tpu.data.vertex import compute_vertex_targets
 from pvnet_tpu.eval.evaluator import Evaluator, ObjectMeta
 from pvnet_tpu.models.pvnet import build_model
 from pvnet_tpu.parallel import make_mesh, replicate, shard_batch
@@ -36,7 +35,9 @@ from pvnet_tpu import pipeline as pl_mod
 
 def _device_batch(batch: Dict[str, np.ndarray], vote_num: int,
                   use_motion: bool = False) -> Dict[str, jnp.ndarray]:
-    """Host batch -> device batch with on-device vertex targets."""
+    """Host batch -> device arrays. Vertex targets stay as hcoords; the
+    jitted step expands them on device (train/trainer._batch_vertex) —
+    never eagerly, which would cost seconds of per-op tunnel dispatch."""
     out = {
         "image": jnp.asarray(batch["image"]),
         "mask": jnp.asarray(batch["mask"]),
@@ -45,8 +46,7 @@ def _device_batch(batch: Dict[str, np.ndarray], vote_num: int,
     if "vertex" in batch:
         out["vertex"] = jnp.asarray(batch["vertex"])
     else:
-        out["vertex"] = compute_vertex_targets(
-            out["mask"], jnp.asarray(batch["hcoords"]), use_motion)
+        out["hcoords"] = jnp.asarray(batch["hcoords"])
     return out
 
 
@@ -93,12 +93,14 @@ class TrainLoop:
         if self._train_step is None:
             if self.mesh is not None:
                 self._train_step = trainer_mod.make_sharded_train_step(
-                    self.mesh, self.cfg.vertex_loss_ratio, donate=False)
+                    self.mesh, self.cfg.vertex_loss_ratio, donate=False,
+                    use_motion=self.cfg.motion_model)
             else:
                 import functools
                 self._train_step = jax.jit(functools.partial(
                     trainer_mod.train_step,
-                    vertex_loss_ratio=self.cfg.vertex_loss_ratio))
+                    vertex_loss_ratio=self.cfg.vertex_loss_ratio,
+                    use_motion=self.cfg.motion_model))
         return self._train_step
 
     def train_epoch(self, state, loader, epoch: int):
@@ -156,7 +158,8 @@ class TrainLoop:
                   ("loss", "seg_loss", "ver_loss", "precision", "recall")}
         eval_loss = jax.jit(functools.partial(
             trainer_mod.eval_step,
-            vertex_loss_ratio=self.cfg.vertex_loss_ratio))
+            vertex_loss_ratio=self.cfg.vertex_loss_ratio,
+            use_motion=self.cfg.motion_model))
         key = jax.random.PRNGKey(0)
         begin = time.time()
 

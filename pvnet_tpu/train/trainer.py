@@ -70,19 +70,31 @@ def set_learning_rate(state: TrainState, lr: float) -> TrainState:
     return state.replace(opt_state=opt_state)
 
 
+def _batch_vertex(batch: Dict[str, jnp.ndarray], use_motion: bool
+                  ) -> jnp.ndarray:
+    """Vertex targets: precomputed, or generated on device from hcoords
+    inside the jitted step (never eagerly — per-op dispatch through the
+    TPU tunnel costs seconds per batch)."""
+    if "vertex" in batch:
+        return batch["vertex"]
+    from pvnet_tpu.data.vertex import compute_vertex_targets
+    return compute_vertex_targets(batch["mask"], batch["hcoords"],
+                                  use_motion)
+
+
 def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
-               vertex_loss_ratio: float = 1.0
+               vertex_loss_ratio: float = 1.0, use_motion: bool = False
                ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One optimization step. batch keys: image [b,h,w,3], mask [b,h,w],
-    vertex [b,h,w,vd], vertex_weights [b,h,w,1]."""
+    vertex_weights [b,h,w,1], and vertex [b,h,w,vd] or hcoords [b,k,3]."""
+    vertex = _batch_vertex(batch, use_motion)
 
     def loss_fn(params):
         (seg_pred, ver_pred), mutated = state.apply_fn(
             {"params": params, "batch_stats": state.batch_stats},
             batch["image"], train=True, mutable=["batch_stats"])
         loss, metrics = total_loss(seg_pred, ver_pred, batch["mask"],
-                                   batch["vertex"],
-                                   batch["vertex_weights"],
+                                   vertex, batch["vertex_weights"],
                                    vertex_loss_ratio)
         return loss, (metrics, mutated["batch_stats"])
 
@@ -106,17 +118,19 @@ def eval_forward(state: TrainState, image: jnp.ndarray
 
 
 def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray],
-              vertex_loss_ratio: float = 1.0) -> Dict[str, jnp.ndarray]:
+              vertex_loss_ratio: float = 1.0, use_motion: bool = False
+              ) -> Dict[str, jnp.ndarray]:
     """Loss/metrics without parameter updates (ref val(), :177-205)."""
+    vertex = _batch_vertex(batch, use_motion)
     seg_pred, ver_pred = eval_forward(state, batch["image"])
     _, metrics = total_loss(seg_pred, ver_pred, batch["mask"],
-                            batch["vertex"], batch["vertex_weights"],
+                            vertex, batch["vertex_weights"],
                             vertex_loss_ratio)
     return metrics
 
 
 def make_sharded_train_step(mesh: Mesh, vertex_loss_ratio: float = 1.0,
-                            donate: bool = True):
+                            donate: bool = True, use_motion: bool = False):
     """Jit the train step with data-parallel shardings over ``mesh``.
 
     State is replicated; batch arrays are split on dim 0 over the 'data'
@@ -125,7 +139,9 @@ def make_sharded_train_step(mesh: Mesh, vertex_loss_ratio: float = 1.0,
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
 
-    step = functools.partial(train_step, vertex_loss_ratio=vertex_loss_ratio)
+    step = functools.partial(train_step,
+                             vertex_loss_ratio=vertex_loss_ratio,
+                             use_motion=use_motion)
     return jax.jit(
         step,
         in_shardings=(repl, data),
@@ -134,8 +150,11 @@ def make_sharded_train_step(mesh: Mesh, vertex_loss_ratio: float = 1.0,
     )
 
 
-def make_sharded_eval_step(mesh: Mesh, vertex_loss_ratio: float = 1.0):
+def make_sharded_eval_step(mesh: Mesh, vertex_loss_ratio: float = 1.0,
+                           use_motion: bool = False):
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
-    step = functools.partial(eval_step, vertex_loss_ratio=vertex_loss_ratio)
+    step = functools.partial(eval_step,
+                             vertex_loss_ratio=vertex_loss_ratio,
+                             use_motion=use_motion)
     return jax.jit(step, in_shardings=(repl, data), out_shardings=repl)
