@@ -110,15 +110,19 @@ class TrainLoop:
         step_fn = self.train_step_fn()
         begin = time.time()
         size = len(loader)
+        pending = []     # device metric dicts; synced only at record steps
         for idx, batch in enumerate(loader):
             dev = _device_batch(batch, self.vote_num,
                                 self.cfg.motion_model)
             if self.mesh is not None:
                 dev = shard_batch(dev, self.mesh)
             state, metrics = step_fn(state, dev)
-            for k, m in meters.items():
-                m.update(float(metrics[k]))
+            pending.append(metrics)
             if idx % self.cfg.loss_rec_step == 0:
+                for met in pending:
+                    for k, m in meters.items():
+                        m.update(float(met[k]))
+                pending.clear()
                 step = epoch * size + idx
                 self.recorder.rec_loss_batch(
                     {f"train/scalar/{k}": m.avg for k, m in meters.items()},

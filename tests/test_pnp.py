@@ -186,3 +186,49 @@ class TestUncertaintyPnP:
             jnp.asarray(LINEMOD_K)))
         ang, trans = pose_errors(pred, pose)
         assert trans < 0.05
+
+
+class TestOpenCVParity:
+    """Golden parity against the reference's actual solver (cv2.solvePnP),
+    available in this environment."""
+
+    def test_matches_cv2_iterative(self, rng):
+        import cv2
+        for _ in range(8):
+            pose = random_pose(rng)
+            pts3d = random_points(rng, n=9)
+            pts2d = project_np(pts3d, pose, LINEMOD_K)
+            noisy = pts2d + rng.randn(*pts2d.shape).astype(np.float32) * 0.5
+            _, rvec, tvec = cv2.solvePnP(
+                pts3d.astype(np.float64), noisy.astype(np.float64),
+                LINEMOD_K.astype(np.float64),
+                np.zeros((8, 1)), flags=cv2.SOLVEPNP_ITERATIVE)
+            R_cv, _ = cv2.Rodrigues(rvec)
+            pose_cv = np.concatenate([R_cv, tvec], 1).astype(np.float32)
+            pose_jx = np.asarray(pnp_mod.pnp(
+                jnp.asarray(pts3d), jnp.asarray(noisy),
+                jnp.asarray(LINEMOD_K)))
+            ang, trans = pose_errors(pose_jx, pose_cv)
+            assert ang < 0.5, ang
+            assert trans < 5e-3, trans
+
+    def test_epnp_matches_cv2_epnp(self, rng):
+        import cv2
+        angs = []
+        for _ in range(8):
+            pose = random_pose(rng)
+            pts3d = random_points(rng, n=9)
+            pts2d = project_np(pts3d, pose, LINEMOD_K)
+            _, rvec, tvec = cv2.solvePnP(
+                pts3d.astype(np.float64)[:, None],
+                pts2d.astype(np.float64)[:, None],
+                LINEMOD_K.astype(np.float64),
+                np.zeros((8, 1)), flags=cv2.SOLVEPNP_EPNP)
+            R_cv, _ = cv2.Rodrigues(rvec)
+            pose_cv = np.concatenate([R_cv, tvec], 1).astype(np.float32)
+            pose_jx = np.asarray(pnp_mod.epnp(
+                jnp.asarray(pts3d), jnp.asarray(pts2d),
+                jnp.asarray(LINEMOD_K)))
+            ang, _ = pose_errors(pose_jx, pose_cv)
+            angs.append(ang)
+        assert np.median(angs) < 1.0, angs
