@@ -154,7 +154,8 @@ class TrainLoop:
     def validate(self, state, loader, epoch: int, prefix: str = "val",
                  evaluate_pose: bool = False, uncertainty: bool = False,
                  use_camera_intrinsic: bool = False,
-                 evaluator: Optional[Evaluator] = None):
+                 evaluator: Optional[Evaluator] = None,
+                 save_inter_dir: Optional[str] = None):
         """(ref val() :177-253) — loss metrics always; pose metrics when
         evaluate_pose."""
         import functools
@@ -194,6 +195,10 @@ class TrainLoop:
                              else LINEMOD_K)
                         evaluator.evaluate(kps[bi], batch["pose"][bi], K)
 
+                if save_inter_dir is not None:
+                    self._save_inter(save_inter_dir, bidx, state, batch,
+                                     dev)
+
         losses = {f"{prefix}/scalar/{k}": m.avg for k, m in meters.items()}
         if evaluate_pose and evaluator is not None:
             proj, add, cm = evaluator.average_precision(verbose=True)
@@ -204,6 +209,28 @@ class TrainLoop:
         print(f"epoch {epoch} {prefix} cost {time.time() - begin:.1f} s",
               flush=True)
         return losses
+
+    def _save_inter(self, out_dir: str, idx: int, state, batch, dev):
+        """Dump predicted/GT masks + rgb + pose for inspection
+        (ref train_linemod.py:221-229, --save_inter_result)."""
+        from PIL import Image
+        from pvnet_tpu.utils.viz import imagenet_to_uint8
+        os.makedirs(out_dir, exist_ok=True)
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        mask_pr, _ = jax.jit(lambda v, x: pl_mod.predict_fields(
+            self.model.apply, v, x))(variables, dev["image"])
+        Image.fromarray(
+            (np.asarray(mask_pr[0]) * 255).astype(np.uint8)).save(
+            os.path.join(out_dir, f"{idx}_mask_pr.png"))
+        Image.fromarray(
+            (np.asarray(batch["mask"][0]) * 255).astype(np.uint8)).save(
+            os.path.join(out_dir, f"{idx}_mask_gt.png"))
+        Image.fromarray(imagenet_to_uint8(batch["image"][0])).save(
+            os.path.join(out_dir, f"{idx}_rgb.png"))
+        import pickle
+        with open(os.path.join(out_dir, f"{idx}_pose.pkl"), "wb") as f:
+            pickle.dump(batch["pose"][0], f)
 
     # -- orchestration ----------------------------------------------------
     def make_loaders(self, train_db: Sequence[dict],

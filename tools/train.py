@@ -44,6 +44,8 @@ def parse_args():
     p.add_argument("--buckets", default="256x256,320x448,480x640",
                    help="comma-separated HxW size buckets (bounds XLA "
                         "recompilation; empty = full reference 8px grid)")
+    p.add_argument("--save_inter_result", action="store_true")
+    p.add_argument("--save_inter_dir", default="save_result")
     p.add_argument("--num_threads", type=int, default=4)
     return p.parse_args()
 
@@ -113,7 +115,10 @@ def main():
             loop.validate(state, loader, epoch, prefix,
                           evaluate_pose=True,
                           uncertainty=args.use_uncertainty_pnp,
-                          evaluator=Evaluator(loop.object_meta()))
+                          evaluator=Evaluator(loop.object_meta()),
+                          save_inter_dir=(args.save_inter_dir
+                                          if args.save_inter_result
+                                          else None))
 
         if args.occluded and cls_name in OCC_LINEMOD_CLS_NAMES:
             print("testing occluded linemod ...", flush=True)
