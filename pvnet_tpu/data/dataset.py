@@ -333,8 +333,11 @@ class Prefetcher:
                     i, spec = index_queue.get_nowait()
                 except queue.Empty:
                     return
-                samples = [self.dataset[s] for s in spec]
-                batch_queue.put((i, collate(samples)))
+                try:
+                    samples = [self.dataset[s] for s in spec]
+                    batch_queue.put((i, collate(samples)))
+                except BaseException as e:   # propagate, never deadlock
+                    batch_queue.put((i, e))
 
         threads = [threading.Thread(target=worker, daemon=True)
                    for _ in range(self.num_threads)]
@@ -345,6 +348,9 @@ class Prefetcher:
         received = 0
         while received < len(batches):
             i, batch = batch_queue.get()
+            if isinstance(batch, BaseException):
+                raise RuntimeError(
+                    f"prefetch worker failed on batch {i}") from batch
             received += 1
             with lock:
                 results[i] = batch
