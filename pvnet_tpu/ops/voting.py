@@ -65,11 +65,16 @@ class ForegroundSample(NamedTuple):
 
 
 def sample_foreground(mask: jnp.ndarray, vertex: jnp.ndarray, tn: int,
-                      key: jax.Array) -> ForegroundSample:
+                      key: jax.Array,
+                      exact_topk: bool = False) -> ForegroundSample:
     """Select up to ``tn`` random foreground pixels with fixed output shape.
 
     Replaces the reference's torch.nonzero + masked_select + random
-    downsample (ref ransac_voting_gpu.py:536-546) with a single top-k.
+    downsample (ref ransac_voting_gpu.py:536-546) with a single top-k over
+    (2*foreground + uniform noise). By default the TPU-optimized
+    ``lax.approx_max_k`` does the selection (the set is a uniformly random
+    subsample either way, so the ~95% recall only perturbs *which* random
+    subset is kept; exact_topk=True restores a full sort).
 
     Args:
       mask:   [b, h, w] integer/bool segmentation (nonzero = foreground).
@@ -85,7 +90,10 @@ def sample_foreground(mask: jnp.ndarray, vertex: jnp.ndarray, tn: int,
 
     noise = jax.random.uniform(key, (b, h * w), dtype=jnp.float32)
     score = flat_fg.astype(jnp.float32) * 2.0 + noise
-    top_scores, top_idx = jax.lax.top_k(score, tn)          # [b, tn]
+    if exact_topk or jax.default_backend() != "tpu":
+        top_scores, top_idx = jax.lax.top_k(score, tn)      # [b, tn]
+    else:
+        top_scores, top_idx = jax.lax.approx_max_k(score, tn)
     valid = top_scores >= 2.0
 
     xs = (top_idx % w).astype(jnp.float32)
@@ -121,11 +129,14 @@ def generate_hypotheses(fg: ForegroundSample, hn: int, key: jax.Array
                       (count - 1)[..., None])               # [b, hn, vn, 2]
     idx0, idx1 = idx[..., 0], idx[..., 1]
 
+    # one fused gather per sampled pixel: (dir, coords) packed together
+    feats = jnp.concatenate(
+        [fg.dirs, jnp.broadcast_to(fg.coords[:, :, None, :],
+                                   fg.dirs.shape)], axis=-1)  # [b,tn,vn,4]
+
     def gather_pair(i):
-        c = jnp.take_along_axis(fg.coords, i.reshape(b, hn * vn)[..., None],
-                                axis=1).reshape(b, hn, vn, 2)
-        d = jnp.take_along_axis(fg.dirs, i[..., None], axis=1)
-        return c, d
+        f = jnp.take_along_axis(feats, i[..., None], axis=1)
+        return f[..., 2:4], f[..., 0:2]                     # coords, dir
 
     c0, d0 = gather_pair(idx0)
     c1, d1 = gather_pair(idx1)

@@ -17,14 +17,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def timeit(fn, args, iters=10, warmup=2):
+def timeit_chained(step_fn, init_carry, iters=10):
+    """Time ``iters`` sequential applications of step_fn inside one jitted
+    lax.scan with a data-dependent carry — the only reliable way to time a
+    stage through the async axon tunnel (independent dispatches get
+    memoized/elided; block_until_ready alone under-reports).
+    step_fn(carry) -> carry must flow real data."""
     import jax
-    for _ in range(warmup):
-        out = fn(*args)
+
+    @jax.jit
+    def run(carry):
+        def body(c, _):
+            return step_fn(c), None
+        out, _ = jax.lax.scan(body, carry, None, length=iters)
+        return out
+
+    out = run(init_carry)             # compile + warm
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
+    out = run(init_carry)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters
 
@@ -59,30 +70,52 @@ def main():
     pts3d = rng.uniform(-0.06, 0.06, (9, 3)).astype(np.float32)
     key = jax.random.PRNGKey(1)
 
-    fwd = jax.jit(lambda v, x: pl_mod.predict_fields(model.apply, v, x))
-    t_fwd = timeit(fwd, (variables, image), args.iters)
-    mask, vertex = fwd(variables, image)
+    fwd = lambda v, x: pl_mod.predict_fields(model.apply, v, x)
+
+    def fcn_step(img):
+        mask, vertex = fwd(variables, img)
+        return img + vertex[..., 0, :2].sum(-1, keepdims=True) * 1e-12
+
+    t_fwd = timeit_chained(fcn_step, image, args.iters)
+    mask, vertex = jax.jit(fwd)(variables, image)
     print(f"fcn_forward:      {t_fwd * 1e3:8.2f} ms/batch "
           f"({b / t_fwd:7.1f} img/s)")
 
-    vote = jax.jit(lambda m, v, k: ransac_voting_v3(
-        m, v, k, hyp_num=args.hyp_num, max_num=args.max_num))
-    t_vote = timeit(vote, (mask, vertex, key), args.iters)
-    kps = vote(mask, vertex, key)
+    def vote_step(carry):
+        v, k = carry
+        kps = ransac_voting_v3(mask, v, k, hyp_num=args.hyp_num,
+                               max_num=args.max_num)
+        v2 = v + kps.mean() * 1e-12
+        return (v2, jax.random.fold_in(k, 0))
+
+    t_vote = timeit_chained(vote_step, (vertex, key), args.iters)
+    kps = jax.jit(lambda m, v, k: ransac_voting_v3(
+        m, v, k, hyp_num=args.hyp_num, max_num=args.max_num))(
+        mask, vertex, key)
     print(f"ransac_voting:    {t_vote * 1e3:8.2f} ms/batch "
           f"({b / t_vote:7.1f} img/s)")
 
-    solve = jax.jit(lambda kp: pl_mod.poses_from_keypoints(
-        jnp.asarray(pts3d), kp, jnp.asarray(LINEMOD_K)))
-    t_pnp = timeit(solve, (kps,), args.iters)
+    def pnp_step(kp):
+        poses = pl_mod.poses_from_keypoints(
+            jnp.asarray(pts3d), kp, jnp.asarray(LINEMOD_K))
+        return kp + poses[:, 0, 0, None, None] * 1e-12
+
+    t_pnp = timeit_chained(pnp_step, kps, args.iters)
     print(f"pnp_solve:        {t_pnp * 1e3:8.2f} ms/batch "
           f"({b / t_pnp:7.1f} img/s)")
 
-    full = jax.jit(pl_mod.make_pose_pipeline(
+    full = pl_mod.make_pose_pipeline(
         model.apply, pts3d, LINEMOD_K,
         params=pl_mod.VoteParams(hyp_num=args.hyp_num,
-                                 max_num=args.max_num)))
-    t_full = timeit(full, (variables, image, key), args.iters)
+                                 max_num=args.max_num))
+
+    def full_step(carry):
+        img, k = carry
+        pose, kp = full(variables, img, k)
+        return (img + pose[:, 0, 0, None, None, None] * 1e-12,
+                jax.random.fold_in(k, 0))
+
+    t_full = timeit_chained(full_step, (image, key), args.iters)
     print(f"fused_pipeline:   {t_full * 1e3:8.2f} ms/batch "
           f"({b / t_full:7.1f} poses/s)")
     print(f"stage_sum:        {(t_fwd + t_vote + t_pnp) * 1e3:8.2f} ms")
