@@ -166,3 +166,26 @@ def project_h_np(pts_3dh: np.ndarray, RT: np.ndarray, K: np.ndarray
     """Homogeneous projection for vanishing points
     (ref base_utils.py:258-267)."""
     return pts_3dh @ RT.T @ K.T
+
+
+def mask_depth_to_pts(mask: np.ndarray, depth: np.ndarray, K: np.ndarray,
+                      output_2d: bool = False):
+    """Backproject masked depth pixels to camera-frame 3D points
+    (ref base_utils.py:mask_depth_to_pts :325-334).
+
+    Returns pts [n, 3]; with output_2d also the (x, y) pixel coords [n, 2].
+    """
+    hs, ws = np.nonzero(mask)
+    pts_2d = np.stack([ws, hs], axis=1).astype(np.float32)
+    d = depth[hs, ws].astype(np.float32)
+    pts = np.stack([ws * d, hs * d, d], axis=1).astype(np.float32)
+    pts = pts @ np.linalg.inv(K).T.astype(np.float32)
+    if output_2d:
+        return pts, pts_2d
+    return pts
+
+
+def mask_depth_to_point_cloud(mask: np.ndarray, depth: np.ndarray,
+                              K: np.ndarray) -> np.ndarray:
+    """Alias form returning points only (ref base_utils.py:315-323)."""
+    return mask_depth_to_pts(mask, depth, K)

@@ -718,6 +718,64 @@ def ransac_voting_vanish_point(mask: jnp.ndarray, vertex: jnp.ndarray,
     return jnp.where(ok, out, 0.0)
 
 
+def ransac_voting_center(mask: jnp.ndarray, vertex: jnp.ndarray,
+                         key: jax.Array, hyp_num: int = 512,
+                         inlier_thresh: float = 0.99, max_num: int = 4096,
+                         min_num: int = 100, impl: Optional[str] = None
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Instance-center voting (ref ransac_voting_gpu.py:600-667).
+
+    The reference function is incomplete — it RANSAC-votes a single center
+    (vn=1), computes the winner's inlier set, but never writes the instance
+    mask on the success path and returns an empty list. This implements the
+    evident intent as a fixed-shape batched op: vote the dominant instance
+    center from a per-pixel center-direction field, then mark the pixels
+    whose rays support it as that instance's mask.
+
+    Args:
+      mask:   [b, h, w] segmentation (nonzero = any instance).
+      vertex: [b, h, w, 2] (or [b, h, w, 1, 2]) center-direction field.
+      key:    PRNG key.
+      min_num: reference skips images with < 100 foreground pixels
+        (ref :617-622); such images return a zero mask / zero ratio.
+
+    Returns:
+      center:        [b, 2] voted instance center (pixel coords).
+      instance_mask: [b, h, w] float32; 1 where the pixel voted for the
+        winning center (restricted to the sampled foreground budget).
+      win_ratio:     [b] winner's inlier ratio (confidence proxy).
+    """
+    b, h, w = mask.shape
+    if vertex.ndim == 4:
+        vertex = vertex[:, :, :, None, :]
+    k1, k2 = jax.random.split(key)
+    fg = sample_foreground(mask, vertex, max_num, k1)
+    hyps = generate_hypotheses(fg, hyp_num, k2)             # [b, hn, 1, 2]
+    counts = count_inliers(fg, hyps, inlier_thresh, impl=impl)
+
+    win_idx = jnp.argmax(counts, axis=1)                    # [b, 1]
+    win_counts = jnp.max(counts, axis=1).astype(jnp.float32)
+    win_pts = jnp.take_along_axis(hyps, win_idx[:, None, :, None],
+                                  axis=1)[:, 0]             # [b, 1, 2]
+    win_ratio = win_counts[:, 0] / jnp.maximum(
+        fg.count, 1).astype(jnp.float32)
+
+    # final vote on the winner -> per-pixel support, scattered back to the
+    # image grid (the "compute mean intersection again" step, ref :661-665)
+    inl = inliers_for_points(fg, win_pts, inlier_thresh)[:, 0]  # [b, tn]
+    flat_idx = (fg.coords[..., 1] * w + fg.coords[..., 0]).astype(jnp.int32)
+    support = (inl & fg.valid).astype(jnp.float32)
+    grid = jnp.zeros((b, h * w), jnp.float32)
+    grid = jax.vmap(lambda g, i, s: g.at[i].max(s))(grid, flat_idx, support)
+    instance_mask = grid.reshape(b, h, w)
+
+    ok = fg.total >= min_num
+    center = jnp.where(ok[:, None], win_pts[:, 0], 0.0)
+    instance_mask = jnp.where(ok[:, None, None], instance_mask, 0.0)
+    win_ratio = jnp.where(ok, win_ratio, 0.0)
+    return center, instance_mask, win_ratio
+
+
 def ransac_motion_voting(mask: jnp.ndarray, vertex: jnp.ndarray,
                          key: jax.Array, max_num: int = 4096) -> jnp.ndarray:
     """Offset-field voting without RANSAC: mean of (pixel + offset) over the

@@ -107,3 +107,21 @@ def test_find_nearest_point_distance_tiled(rng):
         jnp.asarray(ref), jnp.asarray(que), tile=1024))
     expect = np.sqrt(((que[:, None] - ref[None]) ** 2).sum(-1)).min(1)
     np.testing.assert_allclose(d, expect, rtol=1e-4, atol=1e-5)
+
+
+class TestDepthBackprojection:
+    def test_roundtrip_project(self):
+        from pvnet_tpu.data.pose_transforms import mask_depth_to_pts
+        K = np.array([[572.4, 0, 325.3], [0, 573.6, 242.0], [0, 0, 1]],
+                     np.float32)
+        rng = np.random.RandomState(0)
+        depth = rng.uniform(0.5, 2.0, (48, 64)).astype(np.float32)
+        mask = np.zeros((48, 64), bool)
+        mask[10:30, 20:50] = True
+        pts, pts_2d = mask_depth_to_pts(mask, depth, K, output_2d=True)
+        assert pts.shape == (20 * 30, 3)
+        # reproject: x = K @ p / z must give back the pixel coords
+        proj = pts @ K.T
+        proj = proj[:, :2] / proj[:, 2:]
+        np.testing.assert_allclose(proj, pts_2d, atol=1e-3)
+        np.testing.assert_allclose(pts[:, 2], depth[mask], atol=1e-5)

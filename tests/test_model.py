@@ -106,3 +106,30 @@ class TestPVNet:
         n = sum(np.prod(p.shape) for p in
                 jax.tree_util.tree_leaves(variables["params"]))
         assert 10e6 < n < 20e6, n
+
+
+class TestVGG16Convs:
+    def test_output_shapes_and_pipeline_adapter(self, rng):
+        import jax
+        from pvnet_tpu.models.vgg import vgg16_convs, as_pvnet_outputs
+        x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+        model = vgg16_convs(ver_dim=16, seg_dim=2)
+        v = model.init(jax.random.PRNGKey(0), x, train=False)
+        seg_score, seg_pred, vertex_pred = model.apply(v, x, train=False)
+        assert seg_score.shape == (1, 64, 64, 2)
+        assert seg_pred.shape == (1, 64, 64, 2)
+        assert vertex_pred.shape == (1, 64, 64, 16)
+        np.testing.assert_allclose(np.asarray(seg_pred.sum(-1)), 1.0,
+                                   atol=1e-5)
+        seg, ver = as_pvnet_outputs((seg_score, seg_pred, vertex_pred))
+        assert seg.shape == (1, 64, 64, 2) and ver.shape == (1, 64, 64, 16)
+
+    def test_backbone_strides(self, rng):
+        import jax
+        from pvnet_tpu.models.vgg import VGG16Backbone
+        x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+        model = VGG16Backbone()
+        v = model.init(jax.random.PRNGKey(0), x)
+        c4, c5 = model.apply(v, x)
+        assert c4.shape == (1, 8, 8, 512)    # stride 8
+        assert c5.shape == (1, 4, 4, 512)    # stride 16

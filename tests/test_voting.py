@@ -363,3 +363,41 @@ class TestDetectorModels:
             out = model.apply(v, x, train=False)
             assert out.shape == (1, 8, 8, 1)
             assert out.dtype == jnp.float32
+
+
+class TestCenterVoting:
+    def test_recovers_center_and_instance_mask(self):
+        center = np.array([[60.0, 55.0]], np.float32)
+        mask, vertex = make_field(128, 128, center, BOX)
+        c, inst, ratio = voting.ransac_voting_center(
+            jnp.asarray(mask)[None], jnp.asarray(vertex)[None, :, :, 0],
+            jax.random.PRNGKey(0), hyp_num=256, max_num=4096)
+        np.testing.assert_allclose(np.asarray(c[0]), center[0], atol=0.5)
+        assert float(ratio[0]) > 0.95
+        inst = np.asarray(inst[0])
+        # support mask lies inside the foreground and covers most of it
+        assert inst[mask == 0].sum() == 0
+        assert inst[mask == 1].mean() > 0.9
+
+    def test_outliers_excluded_from_instance(self):
+        rng = np.random.RandomState(3)
+        center = np.array([[60.0, 55.0]], np.float32)
+        mask, vertex = make_field(128, 128, center, BOX, rng=rng,
+                                  outlier_frac=0.3)
+        c, inst, ratio = voting.ransac_voting_center(
+            jnp.asarray(mask)[None], jnp.asarray(vertex)[None, :, :, 0],
+            jax.random.PRNGKey(1), hyp_num=512, max_num=4096)
+        np.testing.assert_allclose(np.asarray(c[0]), center[0], atol=1.0)
+        assert 0.5 < float(ratio[0]) < 0.9
+
+    def test_min_num_skip(self):
+        mask = np.zeros((64, 64), np.int32)
+        mask[30:33, 30:33] = 1   # 9 px < min_num=100
+        vertex = np.zeros((64, 64, 2), np.float32)
+        vertex[..., 0] = 1.0
+        c, inst, ratio = voting.ransac_voting_center(
+            jnp.asarray(mask)[None], jnp.asarray(vertex)[None],
+            jax.random.PRNGKey(0), hyp_num=64, max_num=256)
+        np.testing.assert_allclose(np.asarray(c), 0.0)
+        np.testing.assert_allclose(np.asarray(inst), 0.0)
+        np.testing.assert_allclose(np.asarray(ratio), 0.0)
