@@ -71,3 +71,29 @@ def load_model(state: TrainState, model_dir: str, epoch: int = -1
         step=restored["step"],
     )
     return new_state, target + 1
+
+
+def load_net(state: TrainState, model_dir: str) -> Tuple[TrainState, int]:
+    """Restore network weights only (params + batch_stats), keeping the
+    optimizer state — the reference's eval-time loader
+    (ref net_utils.py:load_net :110-122). Returns (state, epoch + 1),
+    or (state, 0) when no checkpoint exists."""
+    if not os.path.exists(model_dir):
+        return state, 0
+    mgr = _manager(model_dir)
+    steps = mgr.all_steps()
+    if not steps:
+        mgr.close()
+        return state, 0
+    target = max(steps)
+    template = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+    restored = mgr.restore(target,
+                           args=ocp.args.StandardRestore(template))
+    mgr.close()
+    return state.replace(params=restored["params"],
+                         batch_stats=restored["batch_stats"]), target + 1

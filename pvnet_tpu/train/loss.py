@@ -98,3 +98,20 @@ def precision_recall(seg_pred: jnp.ndarray, mask: jnp.ndarray
     precision = (tp + 1) / (tp + fp + 1)
     recall = (tp + 1) / (tp + fn + 1)
     return precision, recall
+
+
+def compute_precision_multi_class(seg_pred: jnp.ndarray, mask: jnp.ndarray,
+                                  reduce: bool = False) -> jnp.ndarray:
+    """Per-image pixel accuracy over all classes
+    (ref net_utils.py:compute_precision_multi_class :350-359).
+
+    Args:
+      seg_pred: [b, h, w, c] logits; mask: [b, h, w] integer labels.
+    Returns:
+      [b] accuracy, or scalar mean with reduce=True.
+    """
+    b, h, w, _ = seg_pred.shape
+    preds = jnp.argmax(seg_pred, axis=-1)
+    correct = (preds == mask).reshape(b, -1).astype(jnp.float32)
+    precision = jnp.sum(correct, axis=1) / (h * w)
+    return jnp.mean(precision) if reduce else precision

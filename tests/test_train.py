@@ -175,3 +175,49 @@ class TestCheckpoint:
             model, cfg, (1, 32, 32, 3), jax.random.PRNGKey(0))
         _, begin = load_model(state, "/nonexistent/path", epoch=-1)
         assert begin == 0
+
+
+def test_compute_precision_multi_class():
+    import jax.numpy as jnp
+    from pvnet_tpu.train.loss import compute_precision_multi_class
+    logits = np.zeros((2, 4, 4, 3), np.float32)
+    logits[0, ..., 1] = 5.0      # image 0 predicts class 1 everywhere
+    logits[1, ..., 2] = 5.0      # image 1 predicts class 2 everywhere
+    mask = np.ones((2, 4, 4), np.int32)
+    mask[1, :2] = 2              # image 1: half the pixels are class 2
+    acc = np.asarray(compute_precision_multi_class(jnp.asarray(logits),
+                                                   jnp.asarray(mask)))
+    np.testing.assert_allclose(acc, [1.0, 0.5])
+    m = compute_precision_multi_class(jnp.asarray(logits),
+                                      jnp.asarray(mask), reduce=True)
+    np.testing.assert_allclose(float(m), 0.75)
+
+
+def test_load_net_restores_weights_only(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    from pvnet_tpu.config import TrainConfig
+    from pvnet_tpu.models.pvnet import build_model
+    from pvnet_tpu.train import trainer as trainer_mod
+    from pvnet_tpu.train.checkpoint import save_model, load_net
+
+    model = build_model("resnet18_8s", ver_dim=4, seg_dim=2)
+    state = trainer_mod.create_train_state(model, TrainConfig(), (1, 32, 32, 3),
+                                           jax.random.PRNGKey(0))
+    d = str(tmp_path / "ckpt")
+    save_model(state, epoch=3, model_dir=d)
+
+    state2 = trainer_mod.create_train_state(model, TrainConfig(), (1, 32, 32, 3),
+                                            jax.random.PRNGKey(7))
+    restored, begin = load_net(state2, d)
+    assert begin == 4
+    a = jax.tree_util.tree_leaves(restored.params)
+    b = jax.tree_util.tree_leaves(state.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # optimizer state untouched (still state2's)
+    assert restored.step == state2.step
+
+    # missing dir -> cold start
+    _, begin0 = load_net(state2, str(tmp_path / "nope"))
+    assert begin0 == 0
