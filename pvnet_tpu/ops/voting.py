@@ -22,12 +22,15 @@ that maps onto XLA, so the design here is:
   hypothesis count in one batched pass is both statistically stronger and
   faster on TPU than a sequential loop.
 
-- **Inlier counting as lane-parallel FMAs** (Pallas kernel): the cosine test
+- **Inlier counting as a fused broadcast-compare-reduce**: the cosine test
   ``dot(h - c, n) / (|h - c||n|) > thresh`` (ref ransac_voting_kernel.cu:
   119-125) is rewritten multiplication-only as
   ``dot > 0  and  dot^2 > thresh^2 * |d|^2 |n|^2`` so the O(hn*vn*tn)
   reduction never needs a sqrt or divide and never materializes the
-  [hn, vn, tn] inlier tensor the CUDA kernel writes.
+  [hn, vn, tn] inlier tensor the CUDA kernel writes. Two implementations:
+  an XLA formulation (default — its fused elementwise+reduce runs at ~50%
+  of the VPU roofline on v5e) and a Pallas TPU kernel with VMEM
+  accumulation (kept as an option; brute-force parity-tested).
 
 - **Weighted least-squares refinement** on the winner's inliers as batched
   closed-form 2x2 solves (ref ransac_voting_gpu.py:578-595), and the
@@ -108,8 +111,8 @@ def sample_foreground(mask: jnp.ndarray, vertex: jnp.ndarray, tn: int,
     return ForegroundSample(coords, dirs, valid, count, total)
 
 
-def generate_hypotheses(fg: ForegroundSample, hn: int, key: jax.Array
-                        ) -> jnp.ndarray:
+def generate_hypotheses(fg: ForegroundSample, hn: int, key: jax.Array,
+                        shared_pairs: bool = True) -> jnp.ndarray:
     """Sample pixel pairs and intersect their voting rays in closed form.
 
     Mirrors generate_hypothesis_kernel (ref ransac_voting_kernel.cu:11-49):
@@ -119,24 +122,47 @@ def generate_hypotheses(fg: ForegroundSample, hn: int, key: jax.Array
     hypothesis, exactly like the CUDA kernel's early return over an
     at::zeros buffer (ref ransac_voting_kernel.cu:42-43, :75).
 
+    With ``shared_pairs`` (default) one pixel pair is drawn per hypothesis
+    and reused for every keypoint; the CUDA kernel draws independent pairs
+    per (hypothesis, keypoint). Each keypoint's hypotheses are identically
+    distributed either way (a uniform pair intersected under that
+    keypoint's own direction field), and per-keypoint argmax selection
+    never observes cross-keypoint correlation — but the shared form turns
+    the gather into contiguous [vn*4]-rows, which measures ~5x faster on
+    TPU (29 ms -> 5.8 ms at b=128, hn=tn=1024) than per-keypoint indexed
+    gathers. shared_pairs=False restores the reference's exact sampling
+    scheme.
+
     Returns:
       [b, hn, vn, 2] hypothesis points.
     """
     b, tn, vn, _ = fg.dirs.shape
     count = jnp.maximum(fg.count, 1)[:, None, None]
-    u = jax.random.uniform(key, (b, hn, vn, 2), dtype=jnp.float32)
-    idx = jnp.minimum((u * count[..., None]).astype(jnp.int32),
-                      (count - 1)[..., None])               # [b, hn, vn, 2]
-    idx0, idx1 = idx[..., 0], idx[..., 1]
 
-    # one fused gather per sampled pixel: (dir, coords) packed together
+    # (dir, coords) packed so each sampled pixel is one fused gather
     feats = jnp.concatenate(
         [fg.dirs, jnp.broadcast_to(fg.coords[:, :, None, :],
                                    fg.dirs.shape)], axis=-1)  # [b,tn,vn,4]
 
-    def gather_pair(i):
-        f = jnp.take_along_axis(feats, i[..., None], axis=1)
-        return f[..., 2:4], f[..., 0:2]                     # coords, dir
+    if shared_pairs:
+        u = jax.random.uniform(key, (b, hn, 2), dtype=jnp.float32)
+        idx = jnp.minimum((u * count).astype(jnp.int32), count - 1)
+        flat = feats.reshape(b, tn, vn * 4)
+
+        def gather_pair(i):                                 # i: [b, hn]
+            f = jnp.take_along_axis(flat, i[:, :, None], axis=1)
+            f = f.reshape(b, hn, vn, 4)
+            return f[..., 2:4], f[..., 0:2]                 # coords, dir
+        idx0, idx1 = idx[..., 0], idx[..., 1]
+    else:
+        u = jax.random.uniform(key, (b, hn, vn, 2), dtype=jnp.float32)
+        idx = jnp.minimum((u * count[..., None]).astype(jnp.int32),
+                          (count - 1)[..., None])           # [b, hn, vn, 2]
+
+        def gather_pair(i):                                 # i: [b, hn, vn]
+            f = jnp.take_along_axis(feats, i[..., None], axis=1)
+            return f[..., 2:4], f[..., 0:2]                 # coords, dir
+        idx0, idx1 = idx[..., 0], idx[..., 1]
 
     c0, d0 = gather_pair(idx0)
     c1, d1 = gather_pair(idx1)
@@ -146,13 +172,11 @@ def generate_hypotheses(fg: ForegroundSample, hn: int, key: jax.Array
     r0 = nx0 * c0[..., 0] + ny0 * c0[..., 1]
     r1 = nx1 * c1[..., 0] + ny1 * c1[..., 1]
 
-    denom_y = nx1 * ny0 - nx0 * ny1
-    denom_x = ny1 * nx0 - ny0 * nx1
-    ok = jnp.abs(denom_y) >= _DEGENERATE_EPS
-    safe_y = jnp.where(ok, denom_y, 1.0)
-    safe_x = jnp.where(ok, denom_x, 1.0)
-    y = (nx1 * r0 - nx0 * r1) / safe_y
-    x = (ny1 * r0 - ny0 * r1) / safe_x
+    denom = nx1 * ny0 - nx0 * ny1
+    ok = jnp.abs(denom) >= _DEGENERATE_EPS
+    safe = jnp.where(ok, denom, 1.0)
+    y = (nx1 * r0 - nx0 * r1) / safe
+    x = -(ny1 * r0 - ny0 * r1) / safe
     hyp = jnp.stack([x, y], axis=-1)
     return jnp.where(ok[..., None], hyp, 0.0)
 
@@ -340,9 +364,16 @@ def count_inliers_pallas(fg: ForegroundSample, hyps: jnp.ndarray,
 
 def count_inliers(fg: ForegroundSample, hyps: jnp.ndarray, thresh: float,
                   impl: Optional[str] = None) -> jnp.ndarray:
-    """Dispatch: 'pallas' on TPU, 'xla' elsewhere (or forced)."""
+    """Dispatch between the XLA and Pallas implementations.
+
+    Default is 'xla': the fused broadcast-compare-reduce XLA emits runs at
+    ~50% of the VPU elementwise roofline and beats the hand-written Pallas
+    kernel at every measured shape on v5e (b1..b128, tn/hn 512..4096;
+    e.g. 8.9 ms vs 12.8 ms at b=128, hn=tn=1024). The Pallas kernel is kept
+    as an option ('pallas', 'pallas_interpret') and stays brute-force
+    parity-tested."""
     if impl is None:
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        impl = "xla"
     if impl == "pallas":
         return count_inliers_pallas(fg, hyps, thresh)
     if impl == "pallas_interpret":
