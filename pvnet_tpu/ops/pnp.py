@@ -226,7 +226,7 @@ def _residuals(pose6: jnp.ndarray, pts3d: jnp.ndarray, pts2d: jnp.ndarray,
 
 
 def lm_refine(pose0: jnp.ndarray, pts3d: jnp.ndarray, pts2d: jnp.ndarray,
-              K: jnp.ndarray, w3: jnp.ndarray, iters: int = 30
+              K: jnp.ndarray, w3: jnp.ndarray, iters: int = 16
               ) -> jnp.ndarray:
     """Fixed-iteration Levenberg-Marquardt on a 6-vector (angle-axis + t).
 
@@ -309,7 +309,7 @@ def _lm_multi_start(pose0: jnp.ndarray, pts3d: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def pnp(pts3d: jnp.ndarray, pts2d: jnp.ndarray, K: jnp.ndarray,
-        iters: int = 30) -> jnp.ndarray:
+        iters: int = 16) -> jnp.ndarray:
     """Plain PnP: EPnP init + identity-weight LM refinement.
 
     Functional equivalent of the reference's ``pnp()``
@@ -324,7 +324,7 @@ def pnp(pts3d: jnp.ndarray, pts2d: jnp.ndarray, K: jnp.ndarray,
 
 
 def uncertainty_pnp(pts2d: jnp.ndarray, weights: jnp.ndarray,
-                    pts3d: jnp.ndarray, K: jnp.ndarray, iters: int = 30
+                    pts3d: jnp.ndarray, K: jnp.ndarray, iters: int = 16
                     ) -> jnp.ndarray:
     """Uncertainty-weighted PnP.
 
@@ -342,7 +342,7 @@ def uncertainty_pnp(pts2d: jnp.ndarray, weights: jnp.ndarray,
 
 
 def uncertainty_pnp_v2(pts2d: jnp.ndarray, covars: jnp.ndarray,
-                       pts3d: jnp.ndarray, K: jnp.ndarray, iters: int = 30
+                       pts3d: jnp.ndarray, K: jnp.ndarray, iters: int = 16
                        ) -> jnp.ndarray:
     """Covariance-input variant: scalar weights 1/lambda_max(cov)
     (ref extend_utils.py:116-177)."""
