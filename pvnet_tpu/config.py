@@ -205,6 +205,8 @@ class TrainConfig:
     mesh_shape: Optional[Tuple[int, ...]] = None   # None -> all devices on 'data'
     bf16: bool = False                             # compute FCN in bfloat16
     checkpoint_keep: int = 10
+    device_aug: bool = False    # run augmentation inside the jitted step
+                                # (data.augment_device) instead of on host
 
     @classmethod
     def from_json(cls, path: str) -> "TrainConfig":

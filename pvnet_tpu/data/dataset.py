@@ -111,6 +111,8 @@ class Sample:
     vertex: Optional[np.ndarray] = None  # [h, w, 2k] if computed on host
     ignore_vertex: bool = False          # zero the vertex loss weight
                                          # (fuse set, ref :242)
+    out_hw: Optional[Tuple[int, int]] = None  # requested target size
+                                              # (raw/device-aug mode)
 
 
 class PoseDataset:
@@ -122,7 +124,7 @@ class PoseDataset:
                  aug_cfg: Optional[AugConfig] = None,
                  use_intrinsic: bool = False, use_motion: bool = False,
                  host_vertex: bool = False, seed: int = 0,
-                 fast_aug: bool = True):
+                 fast_aug: bool = True, raw: bool = False):
         self.imagedb = list(imagedb)
         self.data_prefix = data_prefix
         self.vote_type = vote_type
@@ -132,6 +134,9 @@ class PoseDataset:
         self.use_motion = use_motion
         self.host_vertex = host_vertex
         self.fast_aug = fast_aug
+        # raw mode: no host augmentation/normalization — full-frame 0..255
+        # pixels for the on-device pipeline (data.augment_device)
+        self.raw = raw
         self.rng = np.random.RandomState(seed)
 
     def __len__(self) -> int:
@@ -159,6 +164,17 @@ class PoseDataset:
 
         hcoords = VotingType.get_data_pts_2d(self.vote_type, rec)
         K = rec["K"].astype(np.float32) if self.use_intrinsic else None
+
+        if self.raw:
+            ignore = (rec["rnd_typ"] == "fuse"
+                      and self.cfg.ignore_fuse_ms_vertex)
+            # uint8 pixels / masks: the host->device link is the scarce
+            # resource in this mode; the jitted step casts on device
+            return Sample(rgb=np.ascontiguousarray(rgb, np.uint8),
+                          mask=np.ascontiguousarray(mask, np.uint8),
+                          hcoords=hcoords.astype(np.float32),
+                          pose=pose.astype(np.float32), K=K, vertex=None,
+                          ignore_vertex=ignore, out_hw=(height, width))
 
         if self.augment:
             rgb, mask, hcoords = self._augmentation(rgb, mask, hcoords,
@@ -285,17 +301,28 @@ class ImageSizeBatchSampler:
 
 
 def collate(samples: List[Sample]) -> Dict[str, np.ndarray]:
-    """Stack samples into a batch dict of numpy arrays."""
+    """Stack samples into a batch dict of numpy arrays.
+
+    Raw (device-aug) samples stay uint8 and skip vertex_weights — the
+    jitted step casts / recomputes them post-warp on device, and the
+    smaller payload matters on a narrow host->device link."""
+    raw = samples[0].out_hw is not None
+    imgs = np.stack([s.rgb for s in samples])
     batch = {
-        "image": np.stack([s.rgb for s in samples]).astype(np.float32),
-        "mask": np.stack([s.mask for s in samples]).astype(np.int32),
+        "image": imgs if raw else imgs.astype(np.float32),
+        "mask": np.stack([s.mask for s in samples]).astype(
+            np.uint8 if raw else np.int32),
         "hcoords": np.stack([s.hcoords for s in samples]),
         "pose": np.stack([s.pose for s in samples]),
     }
     ignore = np.array([s.ignore_vertex for s in samples], np.float32)
-    batch["vertex_weights"] = ((batch["mask"] > 0)[..., None]
-                               * (1.0 - ignore)[:, None, None, None]
-                               ).astype(np.float32)
+    if raw:
+        batch["out_hw"] = np.asarray(samples[0].out_hw, np.int32)
+        batch["ignore"] = ignore
+    else:
+        batch["vertex_weights"] = ((batch["mask"] > 0)[..., None]
+                                   * (1.0 - ignore)[:, None, None, None]
+                                   ).astype(np.float32)
     if samples[0].K is not None:
         batch["K"] = np.stack([s.K for s in samples])
     if samples[0].vertex is not None:

@@ -125,6 +125,13 @@ class Evaluator:
         self.cm_degree_5_recorder.append(
             float(trans_cm) < 5.0 and float(rot_deg) < 5.0)
 
+    def save_proj_diffs(self, path: str = "tmp.npy") -> str:
+        """Dump raw per-image mean projection errors, mirroring the
+        reference's np.save('tmp.npy', ...) side effect
+        (ref evaluation_utils.py:220)."""
+        np.save(path, np.asarray(self.proj_mean_diffs, np.float64))
+        return path
+
     def average_precision(self, verbose: bool = True
                           ) -> Tuple[float, float, float]:
         """(2D-proj rate, ADD rate, 5cm5deg rate)

@@ -41,8 +41,9 @@ def _device_batch(batch: Dict[str, np.ndarray], vote_num: int,
     out = {
         "image": jnp.asarray(batch["image"]),
         "mask": jnp.asarray(batch["mask"]),
-        "vertex_weights": jnp.asarray(batch["vertex_weights"]),
     }
+    if "vertex_weights" in batch:
+        out["vertex_weights"] = jnp.asarray(batch["vertex_weights"])
     if "vertex" in batch:
         out["vertex"] = jnp.asarray(batch["vertex"])
     else:
@@ -89,14 +90,33 @@ class TrainLoop:
                           epoch=-1 if self.cfg.resume else 0)
 
     # -- steps ------------------------------------------------------------
-    def train_step_fn(self):
+    def train_step_fn(self, aug_hw=None):
+        """Jitted train step; with cfg.device_aug, one cached step per
+        target (h, w) taking (state, batch, rng)."""
+        import functools
+        if aug_hw is not None:
+            if not hasattr(self, "_aug_steps"):
+                self._aug_steps = {}
+            if aug_hw not in self._aug_steps:
+                if self.mesh is not None:
+                    step = trainer_mod.make_sharded_train_step(
+                        self.mesh, self.cfg.vertex_loss_ratio, donate=False,
+                        use_motion=self.cfg.motion_model,
+                        aug_cfg=self.cfg.aug_cfg, aug_hw=aug_hw)
+                else:
+                    step = jax.jit(functools.partial(
+                        trainer_mod.train_step,
+                        vertex_loss_ratio=self.cfg.vertex_loss_ratio,
+                        use_motion=self.cfg.motion_model,
+                        aug_cfg=self.cfg.aug_cfg, aug_hw=aug_hw))
+                self._aug_steps[aug_hw] = step
+            return self._aug_steps[aug_hw]
         if self._train_step is None:
             if self.mesh is not None:
                 self._train_step = trainer_mod.make_sharded_train_step(
                     self.mesh, self.cfg.vertex_loss_ratio, donate=False,
                     use_motion=self.cfg.motion_model)
             else:
-                import functools
                 self._train_step = jax.jit(functools.partial(
                     trainer_mod.train_step,
                     vertex_loss_ratio=self.cfg.vertex_loss_ratio,
@@ -107,16 +127,33 @@ class TrainLoop:
         """(ref train() :132-175)"""
         meters = {k: AverageMeter() for k in
                   ("loss", "seg_loss", "ver_loss", "precision", "recall")}
-        step_fn = self.train_step_fn()
+        step_fn = None if self.cfg.device_aug else self.train_step_fn()
         begin = time.time()
         size = len(loader)
+        aug_keys = None
+        if self.cfg.device_aug:
+            # pre-split per-step keys as host numpy: a per-step fold_in
+            # would be an eager device op (seconds each through the tunnel)
+            seed = np.random.SeedSequence(
+                [self.cfg.seed, 7919 * (epoch + 1)])
+            aug_keys = seed.generate_state(2 * size).astype(
+                np.uint32).reshape(size, 2)
         pending = []     # device metric dicts; synced only at record steps
         for idx, batch in enumerate(loader):
+            aug_hw = None
+            if "out_hw" in batch:
+                aug_hw = tuple(int(x) for x in batch.pop("out_hw"))
             dev = _device_batch(batch, self.vote_num,
                                 self.cfg.motion_model)
+            if self.cfg.device_aug:
+                dev["ignore"] = jnp.asarray(batch["ignore"])
             if self.mesh is not None:
                 dev = shard_batch(dev, self.mesh)
-            state, metrics = step_fn(state, dev)
+            if self.cfg.device_aug:
+                state, metrics = self.train_step_fn(aug_hw)(
+                    state, dev, aug_keys[idx % size])
+            else:
+                state, metrics = step_fn(state, dev)
             pending.append(metrics)
             if idx % self.cfg.loss_rec_step == 0:
                 for met in pending:
@@ -238,9 +275,11 @@ class TrainLoop:
                      num_threads: int = 4):
         aug = self.cfg.aug_cfg
         train_set = PoseDataset(train_db, data_prefix, self.vote_type,
-                                augment=True, aug_cfg=aug,
+                                augment=not self.cfg.device_aug,
+                                aug_cfg=aug,
                                 use_motion=self.cfg.motion_model,
-                                seed=self.cfg.seed)
+                                seed=self.cfg.seed,
+                                raw=self.cfg.device_aug)
         train_sampler = ImageSizeBatchSampler(
             range(len(train_set)), self.cfg.train_batch_size,
             drop_last=True, aug_cfg=aug, buckets=self.buckets,

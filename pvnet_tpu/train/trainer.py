@@ -82,11 +82,38 @@ def _batch_vertex(batch: Dict[str, jnp.ndarray], use_motion: bool
                                   use_motion)
 
 
+def _apply_device_aug(batch: Dict[str, jnp.ndarray], rng: jax.Array,
+                      aug_cfg, aug_hw) -> Dict[str, jnp.ndarray]:
+    """Run the jittable augmentation inside the step (TPU-native input
+    pipeline: the host ships raw pixels, the accelerator does the warps).
+    batch must carry raw 0..255 images; 'ignore' [b] optionally masks the
+    vertex loss (fuse-set multi-scale filtering, ref linemod_dataset)."""
+    from pvnet_tpu.data.augment_device import augment_batch
+    image, mask, hcoords = augment_batch(
+        batch["image"], batch["mask"], batch["hcoords"], rng, aug_hw,
+        aug_cfg)
+    vw = (mask > 0)[..., None].astype(jnp.float32)
+    if "ignore" in batch:
+        vw = vw * (1.0 - batch["ignore"])[:, None, None, None]
+    out = dict(batch, image=image, mask=mask, hcoords=hcoords,
+               vertex_weights=vw)
+    out.pop("vertex", None)  # targets must be recomputed post-warp
+    return out
+
+
 def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
-               vertex_loss_ratio: float = 1.0, use_motion: bool = False
+               rng: Optional[jax.Array] = None,
+               vertex_loss_ratio: float = 1.0, use_motion: bool = False,
+               aug_cfg=None, aug_hw: Optional[Tuple[int, int]] = None
                ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One optimization step. batch keys: image [b,h,w,3], mask [b,h,w],
-    vertex_weights [b,h,w,1], and vertex [b,h,w,vd] or hcoords [b,k,3]."""
+    vertex_weights [b,h,w,1], and vertex [b,h,w,vd] or hcoords [b,k,3].
+
+    With ``aug_cfg``/``aug_hw`` set (and ``rng`` provided), the batch is
+    expected raw (unnormalized 0..255 images, full frames) and the whole
+    augmentation pipeline runs on device as part of this jitted step."""
+    if aug_cfg is not None:
+        batch = _apply_device_aug(batch, rng, aug_cfg, aug_hw)
     vertex = _batch_vertex(batch, use_motion)
 
     def loss_fn(params):
@@ -130,20 +157,32 @@ def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray],
 
 
 def make_sharded_train_step(mesh: Mesh, vertex_loss_ratio: float = 1.0,
-                            donate: bool = True, use_motion: bool = False):
+                            donate: bool = True, use_motion: bool = False,
+                            aug_cfg=None,
+                            aug_hw: Optional[Tuple[int, int]] = None):
     """Jit the train step with data-parallel shardings over ``mesh``.
 
     State is replicated; batch arrays are split on dim 0 over the 'data'
-    axis. XLA inserts the gradient/batch-stat all-reduces.
+    axis. XLA inserts the gradient/batch-stat all-reduces. With
+    ``aug_cfg``/``aug_hw``, the returned step takes (state, batch, rng)
+    and performs on-device augmentation first.
     """
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
 
     step = functools.partial(train_step,
                              vertex_loss_ratio=vertex_loss_ratio,
-                             use_motion=use_motion)
+                             use_motion=use_motion,
+                             aug_cfg=aug_cfg, aug_hw=aug_hw)
+    if aug_cfg is not None:
+        return jax.jit(
+            step,
+            in_shardings=(repl, data, repl),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,) if donate else (),
+        )
     return jax.jit(
-        step,
+        lambda state, batch: step(state, batch),
         in_shardings=(repl, data),
         out_shardings=(repl, repl),
         donate_argnums=(0,) if donate else (),

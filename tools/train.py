@@ -47,6 +47,10 @@ def parse_args():
     p.add_argument("--save_inter_result", action="store_true")
     p.add_argument("--save_inter_dir", default="save_result")
     p.add_argument("--num_threads", type=int, default=4)
+    p.add_argument("--device_aug", action="store_true",
+                   help="run augmentation on device inside the jitted "
+                        "train step (data.augment_device) instead of in "
+                        "host threads")
     return p.parse_args()
 
 
@@ -72,6 +76,8 @@ def main():
         cfg = TrainConfig()
     if args.epochs is not None:
         cfg.epoch_num = args.epochs
+    if args.device_aug:
+        cfg.device_aug = True
 
     paths = PathConfig(data_dir=args.data_dir) if args.data_dir \
         else PathConfig()
