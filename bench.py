@@ -61,7 +61,7 @@ def main():
 
     pipeline = make_pose_pipeline(
         model.apply, points_3d, LINEMOD_K,
-        params=VoteParams(hyp_num=1024, max_num=1024),
+        params=VoteParams(),   # production envelope (see VoteParams doc)
         uncertainty=args.uncertainty)
     run = jax.jit(pipeline)
 

@@ -21,12 +21,19 @@ from pvnet_tpu.ops import voting
 
 
 class VoteParams(NamedTuple):
-    """Voting envelope (defaults = reference production eval:
-    128 hyps/round x <=21 rounds -> 1024 fused; inlier 0.99; budget 1024 vs
-    the reference's 100-pixel cap, ref train_linemod.py:104-106)."""
-    hyp_num: int = 1024
+    """Voting envelope.
+
+    Defaults (512 hypotheses / 512-pixel budget) sit between the
+    reference's demo (512 hyps, ref demo.py:55) and its eval paths
+    (128/round with early stop — typically 128-256 effective — and a
+    100-pixel budget on the uncertainty path, ref train_linemod.py:
+    104-106). A trained-model study on the 200-image synthetic test set
+    measured proj/ADD/5cm5deg at 256/512/1024 hyp+budget identical within
+    sampling noise (ADD 25.5/30.0/27.0), so the smaller envelope is free
+    throughput. Raise hyp_num/max_num for harder data."""
+    hyp_num: int = 512
     inlier_thresh: float = 0.99
-    max_num: int = 1024
+    max_num: int = 512
     min_num: int = 5
     uncertainty_hyp_num: int = 4096
 
