@@ -1,0 +1,156 @@
+"""Batch pose inference CLI — images in, poses out.
+
+The serving-side entry point: loads a trained checkpoint, compiles the
+fused image -> FCN -> voting -> PnP pipeline once (optionally sharded over
+every available chip via the data mesh), streams image files through it in
+fixed-size batches, and writes one JSON line per image:
+
+  {"path": ..., "pose": [[r r r t], ...], "kps": [[x, y], ...],
+   "fg_pixels": N}
+
+  python tools/infer.py --checkpoint data/synthetic/model/cat_synthetic_smoke \
+      --points_3d data/synthetic/LINEMOD/cat/farthest.txt \
+      --images 'data/synthetic/LINEMOD/cat/JPEGImages/*.jpg' \
+      --output poses.jsonl
+
+The reference has no batch-inference tool (its eval loop is the closest,
+ref tools/train_linemod.py:177-253); this is the deployment-shaped
+counterpart built on make_sharded_pose_pipeline.
+"""
+from __future__ import annotations
+
+import argparse
+import glob as globmod
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--checkpoint", required=True,
+                   help="orbax model dir (per-class)")
+    p.add_argument("--images", required=True,
+                   help="glob of input images (consistent size)")
+    p.add_argument("--points_3d", required=True,
+                   help="txt file of the object's K 3D keypoints "
+                        "(center appended if vote_type=Farthest and the "
+                        "file has 8 rows)")
+    p.add_argument("--center_3d", default=None,
+                   help="optional txt with the object center (1x3)")
+    p.add_argument("--cfg_file", default=None,
+                   help="training recipe JSON (network/vote_type)")
+    p.add_argument("--K", default="linemod",
+                   help="named intrinsics (linemod/blender) or a txt file")
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--uncertainty", action="store_true")
+    p.add_argument("--hyp_num", type=int, default=None)
+    p.add_argument("--output", default="poses.jsonl")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from pvnet_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from pvnet_tpu.config import (INTRINSIC_MATRICES, IMAGENET_MEAN,
+                                  IMAGENET_STD, TrainConfig)
+    from pvnet_tpu import pipeline as pl_mod
+    from pvnet_tpu.models.pvnet import build_model
+    from pvnet_tpu.parallel import make_mesh
+    from pvnet_tpu.train import trainer as trainer_mod
+    from pvnet_tpu.train.checkpoint import load_net
+
+    cfg = (TrainConfig.from_json(args.cfg_file) if args.cfg_file
+           else TrainConfig())
+
+    pts3d = np.loadtxt(args.points_3d).astype(np.float32)
+    if args.center_3d:
+        pts3d = np.concatenate(
+            [pts3d, np.loadtxt(args.center_3d).reshape(1, 3)], 0
+        ).astype(np.float32)
+    vn = pts3d.shape[0]
+
+    if os.path.exists(args.K):
+        K = np.loadtxt(args.K).astype(np.float32)
+    else:
+        K = INTRINSIC_MATRICES[args.K].astype(np.float32)
+
+    paths = sorted(globmod.glob(args.images))
+    if not paths:
+        print(f"no images match {args.images}", file=sys.stderr)
+        return 1
+    first = np.array(Image.open(paths[0]).convert("RGB"))
+    h, w = first.shape[:2]
+    print(f"{len(paths)} images at {h}x{w}; vn={vn}", flush=True)
+
+    model = build_model(cfg.network, ver_dim=2 * vn, seg_dim=2,
+                        dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32)
+    state = trainer_mod.create_train_state(model, cfg, (1, h, w, 3),
+                                           jax.random.PRNGKey(0))
+    state, epoch = load_net(state, args.checkpoint)
+    if epoch == 0:
+        print(f"no checkpoint found in {args.checkpoint}", file=sys.stderr)
+        return 1
+    print(f"loaded epoch {epoch - 1}", flush=True)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    mesh = make_mesh()
+    n_dev = int(mesh.devices.size)
+    batch = max(args.batch // n_dev, 1) * n_dev
+    params = pl_mod.VoteParams()
+    if args.hyp_num:
+        params = params._replace(hyp_num=args.hyp_num)
+    run = pl_mod.make_sharded_pose_pipeline(
+        mesh, model.apply, pts3d, K, params=params,
+        uncertainty=args.uncertainty)
+
+    def load_image(path):
+        img = np.array(Image.open(path).convert("RGB"), np.float32) / 255.0
+        return (img - IMAGENET_MEAN) / IMAGENET_STD
+
+    # also report foreground size per image (cheap QA signal)
+    fwd = jax.jit(lambda v, x: pl_mod.predict_fields(model.apply, v, x)[0])
+
+    key = jax.random.PRNGKey(0)
+    t0 = time.time()
+    n_done = 0
+    with open(args.output, "w") as out:
+        for i in range(0, len(paths), batch):
+            chunk = paths[i:i + batch]
+            imgs = np.stack([load_image(p) for p in chunk])
+            pad = batch - len(chunk)
+            if pad:
+                imgs = np.concatenate([imgs, np.zeros((pad, h, w, 3),
+                                                      np.float32)])
+            key = jax.random.fold_in(key, i)
+            poses, kps = run(variables, jnp.asarray(imgs), key)
+            masks = fwd(variables, jnp.asarray(imgs))
+            fg = np.asarray(jnp.sum(masks.reshape(batch, -1), axis=1))
+            poses, kps = np.asarray(poses), np.asarray(kps)
+            for j, p in enumerate(chunk):
+                out.write(json.dumps({
+                    "path": p,
+                    "pose": np.round(poses[j], 6).tolist(),
+                    "kps": np.round(kps[j], 2).tolist(),
+                    "fg_pixels": int(fg[j]),
+                }) + "\n")
+            n_done += len(chunk)
+            print(f"\r{n_done}/{len(paths)}", end="", flush=True)
+    dt = time.time() - t0
+    print(f"\nwrote {args.output}: {len(paths)} poses in {dt:.1f}s "
+          f"({len(paths) / dt:.1f} poses/s incl. host IO, {n_dev} chip(s))")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
