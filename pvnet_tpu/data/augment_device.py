@@ -1,0 +1,368 @@
+"""On-device (jittable) training augmentation.
+
+The reference runs its augmentation stack on the host inside 12 DataLoader
+worker processes (ref lib/datasets/linemod_dataset.py:221-240,
+lib/datasets/augmentation.py). On a host with few cores that pipeline is
+the training bottleneck, so this module provides the same semantics as one
+batched, fully jittable transform that runs inside the training step on
+TPU:
+
+- :func:`augment_batch` — per-image instance-centered rotation + overlap-
+  constrained crop + resize as ONE composed affine warp (the same transform
+  the host ``fused_rotate_crop_resize`` applies, itself equivalent to the
+  reference's rotate_instance -> crop_or_padding_to_fixed_size_instance ->
+  resize chain for use_old=true recipes, ref augmentation.py:55-64,
+  118-158, 250-279), then horizontal flip (p=0.5, ref augmentation.py:
+  66-73), separable Gaussian blur (p=0.5, kernel in {3,5,7,9}, ref
+  linemod_dataset.py:229-233), fused color jitter (ref :185-190), and
+  ImageNet normalization.
+
+All randomness comes from a jax PRNG key; every image in the batch draws
+independent parameters. Shapes are static: input [b, H, W, *], output
+[b, out_h, out_w, *]. Hue is applied as an exact HSV-space rotation like
+torchvision's, computed in float (the host path quantizes hue to uint8
+OpenCV half-degrees; differences are below quantization noise).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pvnet_tpu.config import AugConfig, IMAGENET_MEAN, IMAGENET_STD
+
+
+# ---------------------------------------------------------------------------
+# Instance statistics and warp sampling
+# ---------------------------------------------------------------------------
+
+def _instance_stats(mask: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+    """Foreground centroid + bbox of one [H, W] mask, with safe defaults
+    (image center / full frame) when the mask is empty — the host path
+    falls back to a plain random crop there (ref dataset._augmentation)."""
+    h, w = mask.shape
+    fg = (mask != 0)
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    cnt = jnp.sum(fg)
+    safe = jnp.maximum(cnt, 1).astype(jnp.float32)
+    cx = jnp.where(cnt > 0, jnp.sum(fg * xs) / safe, (w - 1) / 2.0)
+    cy = jnp.where(cnt > 0, jnp.sum(fg * ys) / safe, (h - 1) / 2.0)
+    big = jnp.float32(1e9)
+    xmin = jnp.where(cnt > 0, jnp.min(jnp.where(fg, xs, big)), 0.0)
+    xmax = jnp.where(cnt > 0, jnp.max(jnp.where(fg, xs, -big)), w - 1.0)
+    ymin = jnp.where(cnt > 0, jnp.min(jnp.where(fg, ys, big)), 0.0)
+    ymax = jnp.where(cnt > 0, jnp.max(jnp.where(fg, ys, -big)), h - 1.0)
+    return cx, cy, xmin, xmax, ymin, ymax
+
+
+def _sample_warp(mask: jnp.ndarray, key: jax.Array, out_h: int, out_w: int,
+                 cfg: AugConfig) -> jnp.ndarray:
+    """Sample the composed rotate+crop+resize forward affine M [2, 3]
+    (src -> dst), mirroring the host fused_rotate_crop_resize math."""
+    h, w = mask.shape
+    k_rot, k_ratio, k_hbeg, k_wbeg = jax.random.split(key, 4)
+    cx, cy, xmin, xmax, ymin, ymax = _instance_stats(mask)
+
+    deg = jax.random.uniform(k_rot, (), minval=cfg.rot_ang_min,
+                             maxval=cfg.rot_ang_max)
+    ang = jnp.deg2rad(deg)
+    a, b = jnp.cos(ang), jnp.sin(ang)
+    # cv2.getRotationMatrix2D convention (y-down image frame)
+    R = jnp.stack([
+        jnp.stack([a, b, (1 - a) * cx - b * cy]),
+        jnp.stack([-b, a, b * cx + (1 - a) * cy]),
+    ])                                                     # [2, 3]
+
+    corners = jnp.stack([
+        jnp.stack([xmin, ymin, jnp.float32(1)]),
+        jnp.stack([xmin, ymax, jnp.float32(1)]),
+        jnp.stack([xmax, ymin, jnp.float32(1)]),
+        jnp.stack([xmax, ymax, jnp.float32(1)]),
+    ])                                                     # [4, 3]
+    rc = corners @ R.T                                     # [4, 2]
+    wmin_r, wmax_r = jnp.min(rc[:, 0]), jnp.max(rc[:, 0])
+    hmin_r, hmax_r = jnp.min(rc[:, 1]), jnp.max(rc[:, 1])
+    fh, fw = hmax_r - hmin_r, wmax_r - wmin_r
+
+    ratio = jax.random.uniform(k_ratio, (), minval=cfg.resize_ratio_min,
+                               maxval=cfg.resize_ratio_max)
+    th = jnp.floor(out_h * ratio)
+    tw = jnp.floor(out_w * ratio)
+
+    def beg(kb, lo_edge, extent, tsize, full):
+        pad = tsize >= full
+        rmax = jnp.floor(jnp.minimum(lo_edge + cfg.overlap_ratio * extent,
+                                     full - tsize))
+        rmin = jnp.floor(jnp.maximum(lo_edge + cfg.overlap_ratio * extent
+                                     - tsize, 0.0))
+        hi = jnp.maximum(rmax, rmin + 1)
+        u = jax.random.uniform(kb, ())
+        rand = jnp.floor(rmin + u * (hi - rmin))
+        return jnp.where(pad, -jnp.floor((tsize - full) / 2.0), rand)
+
+    hbeg = beg(k_hbeg, hmin_r, fh, th, jnp.float32(h))
+    wbeg = beg(k_wbeg, wmin_r, fw, tw, jnp.float32(w))
+
+    s = 1.0 / ratio
+    M = jnp.stack([
+        (R[0] - jnp.array([0.0, 0.0, 1.0]) * wbeg) * s,
+        (R[1] - jnp.array([0.0, 0.0, 1.0]) * hbeg) * s,
+    ])
+    return M
+
+
+def _invert_affine(M: jnp.ndarray) -> jnp.ndarray:
+    """Invert a [2, 3] affine (dst -> src sampling map)."""
+    A = M[:, :2]
+    t = M[:, 2]
+    det = A[0, 0] * A[1, 1] - A[0, 1] * A[1, 0]
+    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    Ainv = jnp.stack([
+        jnp.stack([A[1, 1], -A[0, 1]]),
+        jnp.stack([-A[1, 0], A[0, 0]]),
+    ]) / det
+    tinv = -Ainv @ t
+    return jnp.concatenate([Ainv, tinv[:, None]], axis=1)
+
+
+def _warp_image(img: jnp.ndarray, mask: jnp.ndarray, M: jnp.ndarray,
+                out_h: int, out_w: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Bilinear (image) / nearest (mask) affine warp with zero border
+    (cv2.warpAffine BORDER_CONSTANT semantics). img [H, W, 3] f32."""
+    h, w = mask.shape
+    Minv = _invert_affine(M)
+    xo = jnp.arange(out_w, dtype=jnp.float32)[None, :]
+    yo = jnp.arange(out_h, dtype=jnp.float32)[:, None]
+    xs = Minv[0, 0] * xo + Minv[0, 1] * yo + Minv[0, 2]    # [out_h, out_w]
+    ys = Minv[1, 0] * xo + Minv[1, 1] * yo + Minv[1, 2]
+
+    x0 = jnp.floor(xs)
+    y0 = jnp.floor(ys)
+    wx = xs - x0
+    wy = ys - y0
+
+    flat_img = img.reshape(h * w, -1)
+    flat_msk = mask.reshape(h * w)
+
+    def fetch(xi, yi):
+        inside = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        idx = (jnp.clip(yi, 0, h - 1) * w
+               + jnp.clip(xi, 0, w - 1)).astype(jnp.int32)
+        vals = jnp.take(flat_img, idx.reshape(-1), axis=0)
+        vals = vals.reshape(out_h, out_w, -1)
+        return vals * inside[..., None], inside
+
+    x0i, y0i = x0.astype(jnp.int32), y0.astype(jnp.int32)
+    v00, _ = fetch(x0i, y0i)
+    v01, _ = fetch(x0i + 1, y0i)
+    v10, _ = fetch(x0i, y0i + 1)
+    v11, _ = fetch(x0i + 1, y0i + 1)
+    out = ((1 - wy)[..., None] * ((1 - wx)[..., None] * v00
+                                  + wx[..., None] * v01)
+           + wy[..., None] * ((1 - wx)[..., None] * v10
+                              + wx[..., None] * v11))
+
+    xn = jnp.floor(xs + 0.5).astype(jnp.int32)
+    yn = jnp.floor(ys + 0.5).astype(jnp.int32)
+    inside_n = (xn >= 0) & (xn < w) & (yn >= 0) & (yn < h)
+    idx_n = (jnp.clip(yn, 0, h - 1) * w
+             + jnp.clip(xn, 0, w - 1)).astype(jnp.int32)
+    out_mask = jnp.take(flat_msk, idx_n.reshape(-1), axis=0)
+    out_mask = out_mask.reshape(out_h, out_w) * inside_n
+    return out, out_mask
+
+
+# ---------------------------------------------------------------------------
+# Photometric ops
+# ---------------------------------------------------------------------------
+
+_BLUR_SIZES = (3, 5, 7, 9)
+_MAX_K = 9
+
+
+def _gauss_weights_bank() -> jnp.ndarray:
+    """[4, 9] zero-padded 1D Gaussian kernels for sizes 3/5/7/9, matching
+    cv2.GaussianBlur(sigma=0): OpenCV uses fixed small-kernel tables for
+    ksize <= 7 and the sigma = 0.3*((k-1)*0.5 - 1) + 0.8 formula above."""
+    import numpy as np
+    fixed = {
+        3: [0.25, 0.5, 0.25],
+        5: [0.0625, 0.25, 0.375, 0.25, 0.0625],
+        7: [0.03125, 0.109375, 0.21875, 0.28125, 0.21875, 0.109375,
+            0.03125],
+    }
+    bank = np.zeros((len(_BLUR_SIZES), _MAX_K), np.float32)
+    for i, k in enumerate(_BLUR_SIZES):
+        if k in fixed:
+            g = np.asarray(fixed[k], np.float64)
+        else:
+            sigma = 0.3 * ((k - 1) * 0.5 - 1) + 0.8
+            half = k // 2
+            x = np.arange(-half, half + 1, dtype=np.float64)
+            g = np.exp(-(x * x) / (2 * sigma * sigma))
+            g /= g.sum()
+        off = (_MAX_K - k) // 2
+        bank[i, off:off + k] = g
+    return jnp.asarray(bank)
+
+
+def _separable_blur(img: jnp.ndarray, wts: jnp.ndarray) -> jnp.ndarray:
+    """Apply a per-image separable kernel via shifted weighted sums.
+    img [b, h, w, 3]; wts [b, 9]. Reflect-101 border like OpenCV."""
+    half = _MAX_K // 2
+
+    def pass_axis(x, axis):
+        pad = [(0, 0)] * 4
+        pad[axis] = (half, half)
+        xp = jnp.pad(x, pad, mode="reflect")
+        acc = jnp.zeros_like(x)
+        for i in range(_MAX_K):
+            sl = [slice(None)] * 4
+            sl[axis] = slice(i, i + x.shape[axis])
+            acc = acc + wts[:, i, None, None, None] * xp[tuple(sl)]
+        return acc
+
+    return pass_axis(pass_axis(img, 1), 2)
+
+
+def _rgb_to_hsv(rgb: jnp.ndarray):
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    mx = jnp.maximum(jnp.maximum(r, g), b)
+    mn = jnp.minimum(jnp.minimum(r, g), b)
+    d = mx - mn
+    safe_d = jnp.where(d == 0, 1.0, d)
+    h = jnp.where(mx == r, ((g - b) / safe_d) % 6.0,
+                  jnp.where(mx == g, (b - r) / safe_d + 2.0,
+                            (r - g) / safe_d + 4.0)) / 6.0
+    h = jnp.where(d == 0, 0.0, h)
+    s = jnp.where(mx == 0, 0.0, d / jnp.where(mx == 0, 1.0, mx))
+    return h, s, mx
+
+
+def _hsv_to_rgb(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray):
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1 - s)
+    q = v * (1 - f * s)
+    t = v * (1 - (1 - f) * s)
+    i = i.astype(jnp.int32) % 6
+    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [v, q, p, p, t, v])
+    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [t, v, v, q, p, p])
+    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [p, p, t, v, v, q])
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def _color_jitter(img: jnp.ndarray, key: jax.Array,
+                  cfg: AugConfig) -> jnp.ndarray:
+    """Fused brightness/contrast/saturation FMA + HSV hue rotation
+    (host equivalent: augment.color_jitter). img [b, h, w, 3] in 0..255."""
+    b = img.shape[0]
+    kb, kc, ks, kh = jax.random.split(key, 4)
+
+    def factor(k, amount):
+        if amount <= 0:
+            return jnp.ones((b,), jnp.float32)
+        return jax.random.uniform(k, (b,), minval=max(0.0, 1 - amount),
+                                  maxval=1 + amount)
+
+    fb = factor(kb, cfg.brightness)
+    fc = factor(kc, cfg.contrast)
+    fs = factor(ks, cfg.saturation)
+
+    gray = (0.299 * img[..., 0] + 0.587 * img[..., 1]
+            + 0.114 * img[..., 2])                          # [b, h, w]
+    gmean = jnp.mean(gray, axis=(1, 2))
+    a = (fb * fc * fs)[:, None, None, None]
+    bco = (fb * fc * (1 - fs))[:, None, None, None]
+    cco = (fb * (1 - fc) * gmean)[:, None, None, None]
+    out = a * img + bco * gray[..., None] + cco
+    out = jnp.clip(out, 0.0, 255.0)
+
+    if cfg.hue > 0:
+        fh = jax.random.uniform(kh, (b,), minval=-cfg.hue, maxval=cfg.hue)
+        h, s, v = _rgb_to_hsv(out / 255.0)
+        h = (h + fh[:, None, None]) % 1.0
+        out = _hsv_to_rgb(h, s, v) * 255.0
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Entry point
+# ---------------------------------------------------------------------------
+
+def augment_batch(image: jnp.ndarray, mask: jnp.ndarray,
+                  hcoords: jnp.ndarray, key: jax.Array,
+                  out_hw: Tuple[int, int], cfg: AugConfig,
+                  normalize: bool = True
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched jittable augmentation.
+
+    Args:
+      image:   [b, H, W, 3] float32 in 0..255 (raw pixels).
+      mask:    [b, H, W] int32.
+      hcoords: [b, k, 3] homogeneous keypoint targets.
+      key:     PRNG key; independent draws per image.
+      out_hw:  static output (height, width).
+      cfg:     the recipe's aug_cfg (same schema as the host pipeline).
+      normalize: apply ImageNet mean/std at the end (matching the host
+        dataset's output contract).
+
+    Returns:
+      (image [b, out_h, out_w, 3], mask [b, out_h, out_w] int32,
+       hcoords [b, k, 3]).
+    """
+    b = image.shape[0]
+    out_h, out_w = out_hw
+    k_warp, k_flip, k_blur, k_jit, k_sel = jax.random.split(key, 5)
+
+    image = image.astype(jnp.float32)
+
+    # --- geometric: one composed affine per image --------------------------
+    if cfg.rotation or cfg.crop:
+        warp_keys = jax.random.split(k_warp, b)
+        Ms = jax.vmap(lambda m, k: _sample_warp(m, k, out_h, out_w, cfg))(
+            mask, warp_keys)                                 # [b, 2, 3]
+        image, mask = jax.vmap(
+            lambda im, m, M: _warp_image(im, m, M, out_h, out_w))(
+            image, mask, Ms)
+        last = jnp.broadcast_to(jnp.array([[0.0, 0.0, 1.0]]), (b, 1, 3))
+        T = jnp.concatenate([Ms, last], axis=1)              # [b, 3, 3]
+        hcoords = jnp.einsum("bkj,bij->bki", hcoords, T)
+    else:
+        image = image[:, :out_h, :out_w]
+        mask = mask[:, :out_h, :out_w]
+
+    # --- horizontal flip, p=0.5 per image ----------------------------------
+    if cfg.flip:
+        do = jax.random.bernoulli(k_flip, 0.5, (b,))
+        flipped = image[:, :, ::-1]
+        image = jnp.where(do[:, None, None, None], flipped, image)
+        mask = jnp.where(do[:, None, None], mask[:, :, ::-1], mask)
+        hx = hcoords[..., 0]
+        hx_f = out_w * hcoords[..., 2] - hx
+        hcoords = hcoords.at[..., 0].set(
+            jnp.where(do[:, None], hx_f, hx))
+
+    # --- blur, p=0.5, kernel size uniform over {3,5,7,9} -------------------
+    if cfg.blur:
+        bank = _gauss_weights_bank()                         # [4, 9]
+        sel = jax.random.randint(k_sel, (b,), 0, len(_BLUR_SIZES))
+        wts = bank[sel]                                      # [b, 9]
+        blurred = _separable_blur(image, wts)
+        do = jax.random.bernoulli(k_blur, 0.5, (b,))
+        image = jnp.where(do[:, None, None, None], blurred, image)
+
+    # --- color jitter -------------------------------------------------------
+    if cfg.jitter:
+        image = _color_jitter(image, k_jit, cfg)
+
+    if normalize:
+        mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+        std = jnp.asarray(IMAGENET_STD, jnp.float32)
+        image = (image / 255.0 - mean) / std
+    return image, mask.astype(jnp.int32), hcoords
