@@ -217,20 +217,17 @@ class TrainLoop:
                 variables = {"params": state.params,
                              "batch_stats": state.batch_stats}
                 key = jax.random.fold_in(key, bidx)
+                Ks = (np.asarray(batch["K"], np.float32)
+                      if use_camera_intrinsic
+                      else np.broadcast_to(LINEMOD_K, (b, 3, 3)))
                 if uncertainty:
                     mean, cov = fwd(variables, dev["image"], key)
-                    mean, cov = np.asarray(mean), np.asarray(cov)
-                    for bi in range(b):
-                        K = (batch["K"][bi] if use_camera_intrinsic
-                             else LINEMOD_K)
-                        evaluator.evaluate_uncertainty(
-                            mean[bi], cov[bi], batch["pose"][bi], K)
+                    evaluator.evaluate_uncertainty_batch(
+                        np.asarray(mean), np.asarray(cov), batch["pose"],
+                        Ks)
                 else:
                     kps = np.asarray(fwd(variables, dev["image"], key))
-                    for bi in range(b):
-                        K = (batch["K"][bi] if use_camera_intrinsic
-                             else LINEMOD_K)
-                        evaluator.evaluate(kps[bi], batch["pose"][bi], K)
+                    evaluator.evaluate_batch(kps, batch["pose"], Ks)
 
                 if save_inter_dir is not None:
                     self._save_inter(save_inter_dir, bidx, state, batch,
