@@ -135,3 +135,62 @@ class TestEvaluator:
         ev2 = Evaluator(ObjectMeta(ring[:9], ring, 0.1, False))
         ev2.evaluate_pose(pose_rot, pose_gt, LINEMOD_K)
         assert ev2.add_dists[0] > ev.add_dists[0]
+
+
+class TestBatchedEvaluator:
+    def _setup(self, rng, n=6):
+        pts3d = np.loadtxt(
+            "/root/reference/data/demo/cat_points_3d.txt").astype(np.float32)
+        d = float(np.linalg.norm(
+            pts3d[None] - pts3d[:, None], axis=-1).max())
+        meta = ObjectMeta(points_3d=pts3d, model_pts=pts3d, diameter=d,
+                          symmetric=False, name="cat")
+        pose_gt = np.load(
+            "/root/reference/data/demo/cat_pose.npy").astype(np.float32)
+        cam = pts3d @ pose_gt[:, :3].T + pose_gt[:, 3]
+        uv = cam @ LINEMOD_K.T
+        kps = (uv[:, :2] / uv[:, 2:]).astype(np.float32)
+        kps_batch = np.stack(
+            [kps + rng.randn(*kps.shape).astype(np.float32) * (i % 3)
+             for i in range(n)])
+        poses_gt = np.stack([pose_gt] * n)
+        Ks = np.stack([LINEMOD_K] * n)
+        return meta, kps_batch, poses_gt, Ks
+
+    def test_batch_matches_per_image(self, rng):
+        meta, kps, poses_gt, Ks = self._setup(rng)
+        ev_b = Evaluator(meta)
+        poses_b = ev_b.evaluate_batch(kps, poses_gt, Ks)
+        ev_s = Evaluator(meta)
+        for i in range(kps.shape[0]):
+            ev_s.evaluate(kps[i], poses_gt[i], Ks[i])
+        np.testing.assert_allclose(ev_b.proj_mean_diffs,
+                                   ev_s.proj_mean_diffs, rtol=1e-3,
+                                   atol=1e-3)
+        assert ev_b.add_recorder == ev_s.add_recorder
+        assert ev_b.cm_degree_5_recorder == ev_s.cm_degree_5_recorder
+        assert poses_b.shape == (kps.shape[0], 3, 4)
+
+    def test_uncertainty_batch_matches_per_image(self, rng):
+        meta, kps, poses_gt, Ks = self._setup(rng, n=4)
+        covar = np.tile(np.eye(2, dtype=np.float32)[None, None],
+                        (4, kps.shape[1], 1, 1))
+        covar[:, 0] = 0.0   # degenerate keypoint path
+        ev_b = Evaluator(meta)
+        ev_b.evaluate_uncertainty_batch(kps, covar, poses_gt, Ks)
+        ev_s = Evaluator(meta)
+        for i in range(4):
+            ev_s.evaluate_uncertainty(kps[i], covar[i], poses_gt[i], Ks[i])
+        np.testing.assert_allclose(ev_b.proj_mean_diffs,
+                                   ev_s.proj_mean_diffs, rtol=1e-3,
+                                   atol=1e-3)
+
+    def test_flush_chunking(self, rng):
+        meta, kps, poses_gt, Ks = self._setup(rng, n=3)
+        ev = Evaluator(meta)
+        # force multi-chunk flushing
+        ev._FLUSH_CHUNK = 2
+        for _ in range(3):
+            ev.evaluate_batch(kps, poses_gt, Ks)     # 9 records, chunk 2
+        assert len(ev.add_recorder) == 9
+        assert len(ev._pending) == 0
