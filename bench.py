@@ -52,7 +52,8 @@ def main():
     from pvnet_tpu.config import LINEMOD_K
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    model = build_model("resnet18_8s", ver_dim=18, seg_dim=2, dtype=dtype)
+    model = build_model("resnet18_8s", ver_dim=18, seg_dim=2, dtype=dtype,
+                        head_layout="NCHW")
     image = build_inputs(args.batch, args.height, args.width)
     variables = model.init(jax.random.PRNGKey(0), image[:1], train=False)
 

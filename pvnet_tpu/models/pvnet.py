@@ -18,6 +18,7 @@ from functools import partial
 from typing import Any, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -51,6 +52,38 @@ def upsample_bilinear_align_corners(x: jnp.ndarray, out_h: int, out_w: int
     return jnp.einsum("pw,bowc->bopc", Aw, y)
 
 
+class _HeadConvCMajor(nn.Module):
+    """1x1 head conv emitting channel-major [b, C, h, w].
+
+    Declares the same 'kernel'/'bias' params (same shapes, same init) as
+    the nn.Conv it replaces, so checkpoints trained with either head
+    layout interchange freely — only the emission layout differs. Emitting
+    NCHW keeps (h, w) as the compact minor dims in HBM, which the
+    stratified selection kernel streams without the ~12 ms/batch relayout
+    the padded-channel NHWC emission costs (see ops/select_kernel.py).
+    """
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param("kernel", he_fanout_normal(),
+                            (1, 1, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        # 1x1 conv as a dot with the feature dim LEADING, then a
+        # major-dims transpose. conv_general_dilated with NCHW output
+        # lowers to a minor-dims relayout (~17 ms/16-image batch at
+        # 480x640); this form emits [c, b, h, w] directly and the
+        # [c,b]<->[b,c] transpose moves whole contiguous (h, w) planes
+        # (measured 4x faster end to end).
+        y = jax.lax.dot_general(
+            kernel[0, 0].astype(self.dtype), x.astype(self.dtype),
+            (((0,), (3,)), ((), ())))                       # [c, b, h, w]
+        y = y.transpose(1, 0, 2, 3)
+        return y + bias.astype(y.dtype)[None, :, None, None]
+
+
 class PVNet(nn.Module):
     """FCN emitting segmentation logits + keypoint vector field.
 
@@ -58,6 +91,10 @@ class PVNet(nn.Module):
       ver_dim: vector-field channels (2 * keypoint count).
       seg_dim: segmentation classes (2 for single-object).
       fcdim/s8dim/s4dim/s2dim/raw_dim: decoder widths.
+      head_layout: 'NHWC' (default; returns [b, h, w, c] outputs) or
+        'NCHW' (returns seg [b, seg_dim, h, w] and ver [b, ver_dim, h, w]
+        — the TPU-preferred inference emission; same parameters either
+        way, so checkpoints interchange).
     """
     ver_dim: int
     seg_dim: int = 2
@@ -69,6 +106,7 @@ class PVNet(nn.Module):
     s2dim: int = 32
     raw_dim: int = 32
     dtype: Any = jnp.float32
+    head_layout: str = "NHWC"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -119,6 +157,14 @@ class PVNet(nn.Module):
         out = conv(self.raw_dim, (3, 3), padding=[(1, 1)] * 2,
                    use_bias=False)(jnp.concatenate([fm, x_in], axis=-1))
         out = lrelu(norm()(out))
+
+        if self.head_layout == "NCHW":
+            # channel-major emission (model dtype, no f32 cast of the
+            # full-res field): seg [b, seg, h, w], ver [b, ver, h, w]
+            outc = _HeadConvCMajor(self.seg_dim + self.ver_dim,
+                                   dtype=self.dtype, name="Conv_5")(out)
+            return outc[:, :self.seg_dim], outc[:, self.seg_dim:]
+
         out = nn.Conv(self.seg_dim + self.ver_dim, (1, 1), dtype=self.dtype,
                       kernel_init=he_fanout_normal())(out)
 

@@ -7,14 +7,14 @@ with dynamic shapes (torch.nonzero / masked_select) and a data-dependent
 while-loop RANSAC confidence stop (ref ransac_voting_gpu.py:525-576). None of
 that maps onto XLA, so the design here is:
 
-- **Fixed foreground budget** ``tn``: foreground pixels are selected with a
-  single top-k over (2*mask + uniform noise), which keeps a uniformly random
-  subset when the mask exceeds the budget — the same subsampling the
-  reference applies above its own cap (ref ransac_voting_gpu.py:536-540) —
-  and places all valid pixels at the front so hypothesis sampling can draw
-  from a contiguous prefix. Padding pixels carry zero direction vectors, so
-  the voting kernel's ``|n| < 1e-6`` guard (ref ransac_voting_kernel.cu:121)
-  excludes them from every count.
+- **Fixed foreground budget** ``tn``: a uniformly random foreground subset
+  replaces the reference's dynamic-shape subsampling above its cap
+  (ref ransac_voting_gpu.py:536-540). Two selection strategies: stratified
+  phase-grid sampling via a single-pass Pallas kernel (TPU default; see
+  sample_foreground and ops/select_kernel.py) or top-k over
+  (2*mask + uniform noise). Padding/invalid pixels carry zero direction
+  vectors, so the voting kernel's ``|n| < 1e-6`` guard
+  (ref ransac_voting_kernel.cu:121) excludes them from every count.
 
 - **One fused hypothesis pass** of ``hn`` hypotheses instead of
   round-by-round early stopping: the reference's stop only saves *time* when
@@ -67,25 +67,155 @@ class ForegroundSample(NamedTuple):
     total: jnp.ndarray    # [b] int32 foreground pixels before subsampling
 
 
+def _phase_grid(tn: int) -> Tuple[int, int]:
+    """Factor the pixel budget tn = a * b with a <= b, a maximal <= sqrt(tn).
+
+    (a, b) is the phase grid of the stratified sampler: pixels with equal
+    (y mod a, x mod b) compete for one slot. For highly composite tn
+    (powers of two, the normal case) this is ~square."""
+    a = int(tn ** 0.5)
+    while tn % a:
+        a -= 1
+    return a, tn // a
+
+
+def _fast_uniform(key: jax.Array, shape) -> jnp.ndarray:
+    """Uniform [0,1) noise; on TPU uses the hardware RNG (RBG) instead of
+    threefry — counter-based threefry costs ~3.9 ms for a 16x480x640 batch
+    on v5e, the hardware generator is ~free. Only used for selection
+    tie-breaks, where generator quality is irrelevant; deterministic for a
+    given key either way."""
+    if jax.default_backend() == "tpu":
+        kd = jnp.atleast_1d(jax.random.key_data(key)).astype(
+            jnp.uint32).reshape(-1)
+        kd = jnp.concatenate([kd, jnp.zeros(4, jnp.uint32)])[:4]
+        _, bits = jax.lax.rng_bit_generator(
+            kd, shape, dtype=jnp.uint32)
+        return (bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(
+            2.0 ** -24)
+    return jax.random.uniform(key, shape, dtype=jnp.float32)
+
+
+def _sample_foreground_stratified(mask, vertex, tn, key) -> ForegroundSample:
+    """Stratified phase-grid selection with a one-hot reduction gather.
+
+    Partition pixels into tn buckets by spatial phase (y mod a, x mod b),
+    a*b = tn; in each bucket keep the foreground pixel with the highest
+    uniform-noise score (= a uniform pick among that bucket's foreground).
+    Any mask whose support spans an a x b window touches every bucket, so
+    objects larger than the budget fill it; smaller objects keep ~one pixel
+    per phase they cover, evenly spread over the instance.
+
+    Why not top-k + gather: on TPU, XLA lowers both top-k over h*w scores
+    and the [b, h*w, vn, 2] row gather to serial loops — measured ~37 ms
+    per 16-image batch at 480x640, as costly as the whole FCN forward.
+    Here selection is a single-pass Pallas kernel (ops/select_kernel.py)
+    that streams the field once at HBM bandwidth, with identical
+    downstream semantics: a uniformly random foreground pixel per bucket,
+    zero directions on invalid slots.
+
+    ``vertex`` may be [b, h, w, vn, 2] (NHWC) or channel-major
+    [b, vn*2, h, w] — the layout a PVNet built with head_layout='NCHW'
+    emits, which avoids a ~12 ms/batch relayout of the conv output.
+    """
+    b, h, w = mask.shape
+    cmajor = vertex.ndim == 4
+    vn = (vertex.shape[1] // 2) if cmajor else vertex.shape[3]
+    a, bb = _phase_grid(tn)
+    on_tpu = jax.default_backend() == "tpu"
+    # the channel-major kernel competes on native 128-lane tiles
+    cmajor_kernel = cmajor and on_tpu and 128 % bb == 0
+    pad_h = (-h) % a
+    pad_w = (-w) % (128 if cmajor_kernel else bb)
+    fg = (mask != 0)
+    total = jnp.sum(fg.reshape(b, h * w), axis=1).astype(jnp.int32)
+
+    noise = _fast_uniform(key, (b, h, w))
+    score = fg.astype(jnp.float32) * 2.0 + noise
+    if pad_h or pad_w:
+        score = jnp.pad(score, ((0, 0), (0, pad_h), (0, pad_w)),
+                        constant_values=-1.0)
+        spatial_pad = ((0, 0), (0, pad_h), (0, pad_w))
+        if cmajor:
+            vertex = jnp.pad(vertex, ((0, 0), (0, 0),
+                                      (0, pad_h), (0, pad_w)))
+        else:
+            vertex = jnp.pad(vertex, spatial_pad + ((0, 0), (0, 0)))
+    hp, wp = h + pad_h, w + pad_w
+    tx_n = wp // bb
+
+    from pvnet_tpu.ops import select_kernel
+    if cmajor:
+        if cmajor_kernel:
+            best, idx, dirs = select_kernel.stratified_select_cmajor(
+                score, vertex, a, bb)
+        else:
+            best, idx, dirs = select_kernel.stratified_select_xla(
+                score, vertex.transpose(0, 2, 3, 1), a, bb)
+    else:
+        vflat = vertex.reshape(b, hp, wp, vn * 2)
+        if on_tpu:
+            best, idx, dirs = select_kernel.stratified_select(
+                score, vflat, a, bb)
+        else:
+            best, idx, dirs = select_kernel.stratified_select_xla(
+                score, vflat, a, bb)
+
+    valid = (best >= 2.0).reshape(b, tn)                     # [b, tn]
+    ty = (idx // tx_n).reshape(b, tn)
+    tx = (idx % tx_n).reshape(b, tn)
+    dirs = dirs.reshape(b, tn, vn, 2).astype(jnp.float32)
+    dirs = dirs * valid[:, :, None, None].astype(dirs.dtype)
+
+    phase_y = jax.lax.broadcasted_iota(jnp.int32, (a, bb), 0).reshape(tn)
+    phase_x = jax.lax.broadcasted_iota(jnp.int32, (a, bb), 1).reshape(tn)
+    ys = (ty * a + phase_y[None, :]).astype(jnp.float32)
+    xs = (tx * bb + phase_x[None, :]).astype(jnp.float32)
+    coords = jnp.stack([xs, ys], axis=-1)                    # [b, tn, 2]
+
+    count = jnp.sum(valid, axis=1).astype(jnp.int32)
+    return ForegroundSample(coords, dirs, valid, count, total)
+
+
 def sample_foreground(mask: jnp.ndarray, vertex: jnp.ndarray, tn: int,
-                      key: jax.Array,
-                      exact_topk: bool = False) -> ForegroundSample:
+                      key: jax.Array, exact_topk: bool = False,
+                      method: str = "auto") -> ForegroundSample:
     """Select up to ``tn`` random foreground pixels with fixed output shape.
 
     Replaces the reference's torch.nonzero + masked_select + random
-    downsample (ref ransac_voting_gpu.py:536-546) with a single top-k over
-    (2*foreground + uniform noise). By default the TPU-optimized
-    ``lax.approx_max_k`` does the selection (the set is a uniformly random
-    subsample either way, so the ~95% recall only perturbs *which* random
-    subset is kept; exact_topk=True restores a full sort).
+    downsample (ref ransac_voting_gpu.py:536-546). Two strategies:
+
+    - ``topk``: single top-k over (2*foreground + uniform noise) — a
+      uniformly random subsample of the foreground, exactly the reference's
+      subsampling above its cap. Uses ``lax.approx_max_k`` on TPU unless
+      exact_topk=True. O(h*w log) selection plus a row gather; on TPU both
+      lower to serial loops and dominate the whole pose pipeline.
+    - ``stratified``: phase-grid bucketing + one-hot reduction (see
+      :func:`_sample_foreground_stratified`) — streams the field once at
+      HBM bandwidth; the kept set is a uniform pick per spatial phase
+      rather than a global uniform subsample (RANSAC-equivalent coverage,
+      better spatial spread; ~100x faster on TPU).
+
+    ``method='auto'`` picks stratified on TPU, topk elsewhere.
 
     Args:
       mask:   [b, h, w] integer/bool segmentation (nonzero = foreground).
-      vertex: [b, h, w, vn, 2] per-pixel keypoint direction field.
+      vertex: [b, h, w, vn, 2] per-pixel keypoint direction field, or
+        channel-major [b, vn*2, h, w] (the head_layout='NCHW' emission).
       tn:     fixed pixel budget.
       key:    PRNG key for the uniform subsample tiebreak.
     """
+    if method == "auto":
+        method = ("stratified" if jax.default_backend() == "tpu"
+                  and not exact_topk else "topk")
+    if method == "stratified":
+        return _sample_foreground_stratified(mask, vertex, tn, key)
+    assert method == "topk", method
+
     b, h, w = mask.shape
+    if vertex.ndim == 4:                                    # channel-major
+        c = vertex.shape[1]
+        vertex = vertex.transpose(0, 2, 3, 1).reshape(b, h, w, c // 2, 2)
     vn = vertex.shape[3]
     fg = (mask != 0)
     flat_fg = fg.reshape(b, h * w)
@@ -432,7 +562,8 @@ def _wls_refine(fg: ForegroundSample, win_pts: jnp.ndarray, thresh: float
 def ransac_voting_v3(mask: jnp.ndarray, vertex: jnp.ndarray, key: jax.Array,
                      hyp_num: int = 1024, inlier_thresh: float = 0.99,
                      max_num: int = 1024, min_num: int = 5,
-                     impl: Optional[str] = None) -> jnp.ndarray:
+                     impl: Optional[str] = None,
+                     select_method: str = "auto") -> jnp.ndarray:
     """Production inference voting (ref ransac_voting_gpu.py:514-598).
 
     Args:
@@ -450,7 +581,7 @@ def ransac_voting_v3(mask: jnp.ndarray, vertex: jnp.ndarray, key: jax.Array,
       [b, vn, 2] voted keypoint locations.
     """
     k1, k2 = jax.random.split(key)
-    fg = sample_foreground(mask, vertex, max_num, k1)
+    fg = sample_foreground(mask, vertex, max_num, k1, method=select_method)
     hyps = generate_hypotheses(fg, hyp_num, k2)
     counts = count_inliers(fg, hyps, inlier_thresh, impl=impl)  # [b, hn, vn]
 
@@ -467,7 +598,8 @@ def ransac_voting_v5(mask: jnp.ndarray, vertex: jnp.ndarray, key: jax.Array,
                      hyp_num: int = 1024, inlier_thresh: float = 0.99,
                      max_num: int = 1024, min_num: int = 5,
                      conf_thresh: float = 0.999,
-                     impl: Optional[str] = None
+                     impl: Optional[str] = None,
+                     select_method: str = "auto"
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """v3 plus a per-keypoint inlier-ratio confidence
     (ref ransac_voting_gpu.py:763-858; confidence vote at :848-850 uses a
@@ -477,7 +609,7 @@ def ransac_voting_v5(mask: jnp.ndarray, vertex: jnp.ndarray, key: jax.Array,
       ([b, vn, 2] keypoints, [b, vn] confidence in [0, 1]).
     """
     k1, k2 = jax.random.split(key)
-    fg = sample_foreground(mask, vertex, max_num, k1)
+    fg = sample_foreground(mask, vertex, max_num, k1, method=select_method)
     hyps = generate_hypotheses(fg, hyp_num, k2)
     counts = count_inliers(fg, hyps, inlier_thresh, impl=impl)
 
@@ -501,7 +633,8 @@ def estimate_voting_distribution_with_mean(
         mask: jnp.ndarray, vertex: jnp.ndarray, mean: jnp.ndarray,
         key: jax.Array, hyp_num: int = 4096, inlier_thresh: float = 0.99,
         max_num: int = 1024, min_num: int = 5,
-        impl: Optional[str] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        impl: Optional[str] = None,
+        select_method: str = "auto") -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Spatial covariance of the hypothesis distribution about a given mean.
 
     Mirrors ref ransac_voting_gpu.py:333-406: generate >= 4096 hypotheses,
@@ -512,7 +645,7 @@ def estimate_voting_distribution_with_mean(
       (mean [b, vn, 2] passed through, cov [b, vn, 2, 2]).
     """
     k1, k2 = jax.random.split(key)
-    fg = sample_foreground(mask, vertex, max_num, k1)
+    fg = sample_foreground(mask, vertex, max_num, k1, method=select_method)
     hyps = generate_hypotheses(fg, hyp_num, k2)             # [b, hn, vn, 2]
     counts = count_inliers(fg, hyps, inlier_thresh, impl=impl)
 
@@ -531,7 +664,8 @@ def estimate_voting_distribution_with_mean(
 def ransac_voting_v4(mask: jnp.ndarray, vertex: jnp.ndarray, key: jax.Array,
                      hyp_num: int = 1024, inlier_thresh: float = 0.99,
                      max_num: int = 1024, min_num: int = 5,
-                     impl: Optional[str] = None
+                     impl: Optional[str] = None,
+                     select_method: str = "auto"
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """v3 plus the per-keypoint scalar residual variance of the WLS fit
     (ref ransac_voting_gpu.py:669-760: var = sum(residual^2) / n_inliers
@@ -541,7 +675,7 @@ def ransac_voting_v4(mask: jnp.ndarray, vertex: jnp.ndarray, key: jax.Array,
     Returns ([b, vn, 2] keypoints, [b, vn] residual variance).
     """
     k1, k2 = jax.random.split(key)
-    fg = sample_foreground(mask, vertex, max_num, k1)
+    fg = sample_foreground(mask, vertex, max_num, k1, method=select_method)
     hyps = generate_hypotheses(fg, hyp_num, k2)
     counts = count_inliers(fg, hyps, inlier_thresh, impl=impl)
     win_idx = jnp.argmax(counts, axis=1)
@@ -594,7 +728,8 @@ def generate_hypotheses_with_counts(mask: jnp.ndarray, vertex: jnp.ndarray,
                                     key: jax.Array, hyp_num: int = 512,
                                     inlier_thresh: float = 0.99,
                                     max_num: int = 1024,
-                                    impl: Optional[str] = None
+                                    impl: Optional[str] = None,
+                                    select_method: str = "auto"
                                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Visualization helper: raw hypotheses and their inlier counts
     (ref generate_hypothesis, ransac_voting_gpu.py:983-1034, used by the
@@ -603,7 +738,7 @@ def generate_hypotheses_with_counts(mask: jnp.ndarray, vertex: jnp.ndarray,
     Returns ([b, hn, vn, 2] hypotheses, [b, hn, vn] int32 counts).
     """
     k1, k2 = jax.random.split(key)
-    fg = sample_foreground(mask, vertex, max_num, k1)
+    fg = sample_foreground(mask, vertex, max_num, k1, method=select_method)
     hyps = generate_hypotheses(fg, hyp_num, k2)
     counts = count_inliers(fg, hyps, inlier_thresh, impl=impl)
     return hyps, counts
@@ -702,7 +837,8 @@ def vanishing_inliers_for_points(fg: ForegroundSample, pts: jnp.ndarray,
 def ransac_voting_vanish_point(mask: jnp.ndarray, vertex: jnp.ndarray,
                                key: jax.Array, hyp_num: int = 1024,
                                inlier_thresh: float = 0.999,
-                               max_num: int = 1024, min_num: int = 5
+                               max_num: int = 1024, min_num: int = 5,
+                               select_method: str = "auto"
                                ) -> jnp.ndarray:
     """Vanishing-point RANSAC with SVD refinement
     (ref ransac_voting_gpu.py:408-501, minus that function's undefined
@@ -711,7 +847,7 @@ def ransac_voting_vanish_point(mask: jnp.ndarray, vertex: jnp.ndarray,
     Returns [b, vn, 3] unit homogeneous vanishing points.
     """
     k1, k2 = jax.random.split(key)
-    fg = sample_foreground(mask, vertex, max_num, k1)
+    fg = sample_foreground(mask, vertex, max_num, k1, method=select_method)
     hyps = generate_vanishing_hypotheses(fg, hyp_num, k2)
 
     inl = vanishing_inliers_for_points(fg, hyps, inlier_thresh)
@@ -752,7 +888,8 @@ def ransac_voting_vanish_point(mask: jnp.ndarray, vertex: jnp.ndarray,
 def ransac_voting_center(mask: jnp.ndarray, vertex: jnp.ndarray,
                          key: jax.Array, hyp_num: int = 512,
                          inlier_thresh: float = 0.99, max_num: int = 4096,
-                         min_num: int = 100, impl: Optional[str] = None
+                         min_num: int = 100, impl: Optional[str] = None,
+                         select_method: str = "auto"
                          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Instance-center voting (ref ransac_voting_gpu.py:600-667).
 
@@ -780,7 +917,7 @@ def ransac_voting_center(mask: jnp.ndarray, vertex: jnp.ndarray,
     if vertex.ndim == 4:
         vertex = vertex[:, :, :, None, :]
     k1, k2 = jax.random.split(key)
-    fg = sample_foreground(mask, vertex, max_num, k1)
+    fg = sample_foreground(mask, vertex, max_num, k1, method=select_method)
     hyps = generate_hypotheses(fg, hyp_num, k2)             # [b, hn, 1, 2]
     counts = count_inliers(fg, hyps, inlier_thresh, impl=impl)
 
@@ -808,12 +945,13 @@ def ransac_voting_center(mask: jnp.ndarray, vertex: jnp.ndarray,
 
 
 def ransac_motion_voting(mask: jnp.ndarray, vertex: jnp.ndarray,
-                         key: jax.Array, max_num: int = 4096) -> jnp.ndarray:
+                         key: jax.Array, max_num: int = 4096,
+                         select_method: str = "auto") -> jnp.ndarray:
     """Offset-field voting without RANSAC: mean of (pixel + offset) over the
     foreground (ref ransac_voting_gpu.py:960-981, used when the vertex field
     stores pixel offsets rather than unit directions).
     """
-    fg = sample_foreground(mask, vertex, max_num, key)
+    fg = sample_foreground(mask, vertex, max_num, key, method=select_method)
     pts = fg.dirs + fg.coords[:, :, None, :]                # [b, tn, vn, 2]
     w = fg.valid[:, :, None, None].astype(jnp.float32)
     denom = jnp.maximum(fg.count, 1).astype(jnp.float32)[:, None, None]

@@ -40,15 +40,22 @@ class VoteParams(NamedTuple):
 
 def predict_fields(apply_fn, variables, image: jnp.ndarray
                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """FCN forward: [b, h, w, 3] -> (mask [b, h, w], vertex [b,h,w,vn,2]).
+    """FCN forward: [b, h, w, 3] -> (mask [b, h, w], vertex field).
 
     argmax segmentation like the reference wrappers
-    (ref train_linemod.py:99-102)."""
+    (ref train_linemod.py:99-102). With an NHWC head the vertex field is
+    [b, h, w, vn, 2]; with head_layout='NCHW' it stays channel-major
+    [b, vn*2, h, w] (the voting layer accepts both — the channel-major
+    form feeds the selection kernel without a layout change)."""
     seg_pred, ver_pred = apply_fn(variables, image, train=False)
-    mask = jnp.argmax(seg_pred, axis=-1)
-    b, h, w, vd = ver_pred.shape
-    vertex = ver_pred.reshape(b, h, w, vd // 2, 2)
-    return mask, vertex
+    b, h, w, _ = image.shape
+    if seg_pred.shape[1:3] == (h, w):                       # NHWC head
+        mask = jnp.argmax(seg_pred, axis=-1)
+        vd = ver_pred.shape[-1]
+        vertex = ver_pred.reshape(b, h, w, vd // 2, 2)
+        return mask, vertex
+    mask = jnp.argmax(seg_pred, axis=1)                     # NCHW head
+    return mask, ver_pred
 
 
 def keypoints_from_fields(mask: jnp.ndarray, vertex: jnp.ndarray,

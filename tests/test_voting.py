@@ -72,6 +72,79 @@ class TestSampleForeground:
         np.testing.assert_allclose(d[~v], 0.0)
 
 
+class TestStratifiedSelection:
+    """Phase-grid stratified sampler (the TPU-default selection path)."""
+
+    def test_large_object_fills_budget(self):
+        # box 40x60 covers every (y mod 16, x mod 32) phase of tn=512
+        mask, vertex = make_field(128, 128, KPTS, BOX)
+        fg = voting.sample_foreground(
+            jnp.asarray(mask)[None], jnp.asarray(vertex)[None], 512,
+            jax.random.PRNGKey(0), method="stratified")
+        assert int(fg.count[0]) == 512
+        assert int(fg.total[0]) == (BOX[1] - BOX[0]) * (BOX[3] - BOX[2])
+        c = np.asarray(fg.coords[0])[np.asarray(fg.valid[0])]
+        assert (c[:, 0] >= BOX[2]).all() and (c[:, 0] < BOX[3]).all()
+        assert (c[:, 1] >= BOX[0]).all() and (c[:, 1] < BOX[1]).all()
+
+    def test_small_object_keeps_every_phase(self):
+        # 4x4 box, tn=64 -> phase grid 8x8: all 16 pixels distinct phases
+        mask, vertex = make_field(64, 64, KPTS, (10, 14, 10, 14))
+        fg = voting.sample_foreground(
+            jnp.asarray(mask)[None], jnp.asarray(vertex)[None], 64,
+            jax.random.PRNGKey(1), method="stratified")
+        assert int(fg.count[0]) == 16
+        d = np.asarray(fg.dirs[0])
+        v = np.asarray(fg.valid[0])
+        np.testing.assert_allclose(d[~v], 0.0)
+
+    def test_dirs_match_field_at_coords(self):
+        mask, vertex = make_field(128, 128, KPTS, BOX)
+        fg = voting.sample_foreground(
+            jnp.asarray(mask)[None], jnp.asarray(vertex)[None], 256,
+            jax.random.PRNGKey(2), method="stratified")
+        v = np.asarray(fg.valid[0])
+        c = np.asarray(fg.coords[0]).astype(int)
+        d = np.asarray(fg.dirs[0])
+        np.testing.assert_allclose(d[v], vertex[c[v, 1], c[v, 0]],
+                                   rtol=1e-6)
+
+    def test_nondivisible_image_padding(self):
+        # 61x77 image with tn=64 (8x8 phases) exercises the pad path
+        mask, vertex = make_field(61, 77, KPTS, (20, 50, 15, 70))
+        fg = voting.sample_foreground(
+            jnp.asarray(mask)[None], jnp.asarray(vertex)[None], 64,
+            jax.random.PRNGKey(3), method="stratified")
+        assert int(fg.count[0]) == 64
+        c = np.asarray(fg.coords[0])[np.asarray(fg.valid[0])]
+        assert (c[:, 0] < 77).all() and (c[:, 1] < 61).all()
+
+    def test_selection_is_random_within_phase(self):
+        mask, vertex = make_field(128, 128, KPTS, BOX)
+        fgs = [voting.sample_foreground(
+            jnp.asarray(mask)[None], jnp.asarray(vertex)[None], 128,
+            jax.random.PRNGKey(k), method="stratified") for k in (0, 1)]
+        assert not np.allclose(np.asarray(fgs[0].coords),
+                               np.asarray(fgs[1].coords))
+
+    def test_v3_recovers_keypoints_with_stratified(self):
+        mask, vertex = make_field(128, 128, KPTS, BOX)
+        pts = voting.ransac_voting_v3(
+            jnp.asarray(mask)[None], jnp.asarray(vertex)[None],
+            jax.random.PRNGKey(0), hyp_num=256, max_num=256, impl="xla",
+            select_method="stratified")
+        np.testing.assert_allclose(np.asarray(pts[0]), KPTS, atol=0.5)
+
+    def test_v3_stratified_robust_to_outliers(self, rng):
+        mask, vertex = make_field(128, 128, KPTS, BOX, noise=0.01, rng=rng,
+                                  outlier_frac=0.3)
+        pts = voting.ransac_voting_v3(
+            jnp.asarray(mask)[None], jnp.asarray(vertex)[None],
+            jax.random.PRNGKey(0), hyp_num=512, max_num=512, impl="xla",
+            select_method="stratified")
+        np.testing.assert_allclose(np.asarray(pts[0]), KPTS, atol=2.0)
+
+
 class TestCountParity:
     def _random_inputs(self, rng, b=2, tn=96, vn=3, hn=160):
         coords = rng.uniform(0, 100, (b, tn, 2)).astype(np.float32)

@@ -64,7 +64,8 @@ def main():
     b, h, w = args.batch, args.height, args.width
     rng = np.random.RandomState(0)
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    model = build_model("resnet18_8s", ver_dim=18, dtype=dtype)
+    model = build_model("resnet18_8s", ver_dim=18, dtype=dtype,
+                        head_layout="NCHW")
     image = jnp.asarray(rng.randn(b, h, w, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), image[:1], train=False)
     pts3d = rng.uniform(-0.06, 0.06, (9, 3)).astype(np.float32)
