@@ -38,6 +38,13 @@ def main():
     ap.add_argument("--quick", action="store_true",
                     help="small shapes for a smoke run")
     ap.add_argument("--uncertainty", action="store_true")
+    ap.add_argument("--fused_tail", action="store_true", default=False,
+                    help="packed Pallas raw-conv+head+selection tail "
+                         "(experimental: measured 457 vs 572 poses/s at "
+                         "batch 128 -- the kernel's VMEM im2col copies "
+                         "cap it below XLA's conv)")
+    ap.add_argument("--no-fused_tail", dest="fused_tail",
+                    action="store_false")
     ap.add_argument("--bf16", action="store_true", default=True)
     ap.add_argument("--no-bf16", dest="bf16", action="store_false")
     args = ap.parse_args()
@@ -63,7 +70,7 @@ def main():
     pipeline = make_pose_pipeline(
         model.apply, points_3d, LINEMOD_K,
         params=VoteParams(),   # production envelope (see VoteParams doc)
-        uncertainty=args.uncertainty)
+        uncertainty=args.uncertainty, fused_tail=args.fused_tail)
     run = jax.jit(pipeline)
 
     key = jax.random.PRNGKey(1)

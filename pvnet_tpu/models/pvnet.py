@@ -109,12 +109,18 @@ class PVNet(nn.Module):
     head_layout: str = "NHWC"
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False,
+                 return_tail_features: bool = False):
         """x: [b, h, w, 3] normalized image (NHWC).
 
         Returns:
           seg_pred: [b, h, w, seg_dim] float32 logits.
           ver_pred: [b, h, w, ver_dim] float32 vector field.
+        (head_layout='NCHW' returns [b, c, h, w] model-dtype tensors
+        instead; return_tail_features=True returns the raw-stage input
+        [b, h, w, 64k] — decoder features ++ rgb, zero-padded to a
+        64-multiple — for the fused inference tail, see
+        ops/tail_kernel.py.)
         """
         b, h, w, _ = x.shape
         x_in = x.astype(self.dtype)
@@ -154,8 +160,14 @@ class PVNet(nn.Module):
         fm = upsample_bilinear_align_corners(fm, h, w)
 
         # raw head (ref :53-58)
+        tail_in = jnp.concatenate([fm, x_in], axis=-1)
+        if return_tail_features:
+            cin = tail_in.shape[-1]
+            pad = (-cin) % 64
+            zeros = jnp.zeros(tail_in.shape[:-1] + (pad,), tail_in.dtype)
+            return jnp.concatenate([tail_in, zeros], axis=-1)
         out = conv(self.raw_dim, (3, 3), padding=[(1, 1)] * 2,
-                   use_bias=False)(jnp.concatenate([fm, x_in], axis=-1))
+                   use_bias=False)(tail_in)
         out = lrelu(norm()(out))
 
         if self.head_layout == "NCHW":

@@ -241,6 +241,82 @@ def sample_foreground(mask: jnp.ndarray, vertex: jnp.ndarray, tn: int,
     return ForegroundSample(coords, dirs, valid, count, total)
 
 
+def sample_foreground_packed(packed: jnp.ndarray, fgcnt: jnp.ndarray,
+                             tn: int, key: jax.Array,
+                             seg_dim: int = 2) -> ForegroundSample:
+    """Stratified foreground sampling directly on an s2d-packed head field.
+
+    Consumes the fused inference tail's outputs (ops/tail_kernel.py):
+    ``packed`` [b, HP, WP, 4*hout] holds the seg+ver head values of each
+    2x2 full-resolution cell in depth, ``fgcnt`` [b, HP, WP] its
+    foreground pixel count. Selection picks tn//4 cells on a phase grid
+    over the packed (half-resolution) lattice — still an even spatial
+    stratification of the instance — and expands each winner into its 4
+    sub-pixels, whose validity comes from the per-pixel seg logits in the
+    selected rows. The full-resolution fields never materialize.
+
+    The 4 sub-pixels of a cell are adjacent, so a pixel *budget* tn has
+    ~tn/4 spatially-distinct samples; callers wanting reference-equivalent
+    diversity at budget N should pass tn = 4*N-ish (the pipeline uses the
+    same max_num as the plain path — accuracy holds because hypothesis
+    pairs from one cell are rejected by the degeneracy guard and inlier
+    counting is unaffected by adjacency).
+
+    Returns a ForegroundSample with tn slots (tn % 4 == 0 required);
+    ``total`` is the exact full-resolution foreground pixel count.
+    """
+    b, HP, WP, h4 = packed.shape
+    hout = h4 // 4
+    vn = (hout - seg_dim) // 2
+    assert tn % 4 == 0, tn
+    blocks = tn // 4
+    a, bb = _phase_grid(blocks)
+    pad_h = (-HP) % a
+    pad_w = (-WP) % bb
+    total = jnp.sum(fgcnt.reshape(b, HP * WP), axis=1).astype(jnp.int32)
+
+    noise = _fast_uniform(key, (b, HP, WP))
+    score = (fgcnt > 0).astype(jnp.float32) * 2.0 + noise
+    if pad_h or pad_w:
+        score = jnp.pad(score, ((0, 0), (0, pad_h), (0, pad_w)),
+                        constant_values=-1.0)
+        packed = jnp.pad(packed, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    hp, wp = HP + pad_h, WP + pad_w
+    tx_n = wp // bb
+
+    from pvnet_tpu.ops import select_kernel
+    if jax.default_backend() == "tpu":
+        best, idx, rows = select_kernel.stratified_select(score, packed,
+                                                          a, bb)
+    else:
+        best, idx, rows = select_kernel.stratified_select_xla(score, packed,
+                                                              a, bb)
+
+    block_valid = (best >= 2.0).reshape(b, blocks)
+    ty = (idx // tx_n).reshape(b, blocks)
+    tx = (idx % tx_n).reshape(b, blocks)
+    phase_y = jax.lax.broadcasted_iota(jnp.int32, (a, bb), 0).reshape(blocks)
+    phase_x = jax.lax.broadcasted_iota(jnp.int32, (a, bb), 1).reshape(blocks)
+    cell_y = ty * a + phase_y[None, :]                      # [b, blocks]
+    cell_x = tx * bb + phase_x[None, :]
+
+    rows = rows.reshape(b, blocks, 4, hout).astype(jnp.float32)
+    sub_fg = rows[..., 1] > rows[..., 0]                    # [b, blocks, 4]
+    sub_valid = sub_fg & block_valid[..., None]
+    dirs = rows[..., seg_dim:].reshape(b, blocks, 4, vn, 2)
+    dirs = dirs * sub_valid[..., None, None].astype(dirs.dtype)
+
+    par = jnp.arange(4, dtype=jnp.int32)                    # (a2, c2) packed
+    ys = 2 * cell_y[:, :, None] + (par // 2)[None, None, :]
+    xs = 2 * cell_x[:, :, None] + (par % 2)[None, None, :]
+    coords = jnp.stack([xs, ys], axis=-1).astype(jnp.float32)
+
+    valid = sub_valid.reshape(b, tn)
+    count = jnp.sum(valid, axis=1).astype(jnp.int32)
+    return ForegroundSample(coords.reshape(b, tn, 2),
+                            dirs.reshape(b, tn, vn, 2), valid, count, total)
+
+
 def generate_hypotheses(fg: ForegroundSample, hn: int, key: jax.Array,
                         shared_pairs: bool = True) -> jnp.ndarray:
     """Sample pixel pairs and intersect their voting rays in closed form.
@@ -582,7 +658,19 @@ def ransac_voting_v3(mask: jnp.ndarray, vertex: jnp.ndarray, key: jax.Array,
     """
     k1, k2 = jax.random.split(key)
     fg = sample_foreground(mask, vertex, max_num, k1, method=select_method)
-    hyps = generate_hypotheses(fg, hyp_num, k2)
+    return ransac_voting_v3_from_fg(fg, k2, hyp_num=hyp_num,
+                                    inlier_thresh=inlier_thresh,
+                                    min_num=min_num, impl=impl)
+
+
+def ransac_voting_v3_from_fg(fg: ForegroundSample, key: jax.Array,
+                             hyp_num: int = 1024,
+                             inlier_thresh: float = 0.99, min_num: int = 5,
+                             impl: Optional[str] = None) -> jnp.ndarray:
+    """v3 voting from a pre-built foreground sample — the core shared by
+    the mask/vertex front-end and the fused-tail inference path
+    (voting.sample_foreground_packed)."""
+    hyps = generate_hypotheses(fg, hyp_num, key)
     counts = count_inliers(fg, hyps, inlier_thresh, impl=impl)  # [b, hn, vn]
 
     win_idx = jnp.argmax(counts, axis=1)                    # [b, vn]
@@ -646,7 +734,18 @@ def estimate_voting_distribution_with_mean(
     """
     k1, k2 = jax.random.split(key)
     fg = sample_foreground(mask, vertex, max_num, k1, method=select_method)
-    hyps = generate_hypotheses(fg, hyp_num, k2)             # [b, hn, vn, 2]
+    return estimate_voting_distribution_from_fg(
+        fg, mean, k2, hyp_num=hyp_num, inlier_thresh=inlier_thresh,
+        impl=impl)
+
+
+def estimate_voting_distribution_from_fg(
+        fg: ForegroundSample, mean: jnp.ndarray, key: jax.Array,
+        hyp_num: int = 4096, inlier_thresh: float = 0.99,
+        impl: Optional[str] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Covariance estimation from a pre-built foreground sample (core of
+    estimate_voting_distribution_with_mean)."""
+    hyps = generate_hypotheses(fg, hyp_num, key)            # [b, hn, vn, 2]
     counts = count_inliers(fg, hyps, inlier_thresh, impl=impl)
 
     denom = jnp.maximum(fg.count, 1).astype(jnp.float32)[:, None, None]

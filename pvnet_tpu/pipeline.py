@@ -110,17 +110,80 @@ def poses_from_keypoints(points_3d: jnp.ndarray, kps_2d: jnp.ndarray,
     return pnp_mod.uncertainty_pnp_batch(kps_2d, w3, points_3d, K)
 
 
+def fused_tail_foreground(apply_fn, variables, image: jnp.ndarray,
+                          max_num: int, key: jax.Array):
+    """Foreground sample via the fused inference tail (ops/tail_kernel.py).
+
+    Runs the FCN up to the raw-stage input, then one Pallas kernel for
+    raw conv + BN + lrelu + 1x1 head on an s2d-packed grid, and samples
+    the packed field directly — the full-resolution seg/ver tensors never
+    materialize (the raw-stage conv alone costs ~10 ms of a 37 ms forward
+    at batch 16 in plain XLA because of channel lane-padding)."""
+    from pvnet_tpu.ops import tail_kernel
+    from pvnet_tpu.ops import voting
+
+    feats = apply_fn(variables, image, train=False,
+                     return_tail_features=True)             # [b, h, w, 64k]
+    p = variables["params"]
+    bn = variables["batch_stats"]["BatchNorm_4"]
+    tp = tail_kernel.fold_tail_params(
+        p["Conv_4"]["kernel"], p["BatchNorm_4"]["scale"],
+        p["BatchNorm_4"]["bias"], bn["mean"], bn["var"],
+        p["Conv_5"]["kernel"], p["Conv_5"]["bias"],
+        cin_pad=feats.shape[-1])
+
+    if jax.default_backend() == "tpu":
+        packed, fgcnt = tail_kernel.pvnet_tail_packed(
+            feats.astype(jnp.bfloat16), tp, out_dtype=jnp.bfloat16)
+    else:
+        out, fgcnt = tail_kernel.pvnet_tail_reference(
+            feats.astype(jnp.float32), tp)
+        b, h, w, hout = out.shape
+        packed = out.reshape(b, h // 2, 2, w // 2, 2, hout)
+        packed = packed.transpose(0, 1, 3, 2, 4, 5).reshape(
+            b, h // 2, w // 2, 4 * hout)
+    return voting.sample_foreground_packed(packed, fgcnt, max_num, key)
+
+
 def make_pose_pipeline(apply_fn, points_3d, K,
                        params: VoteParams = VoteParams(),
                        uncertainty: bool = False,
-                       impl: Optional[str] = None):
+                       impl: Optional[str] = None,
+                       fused_tail: bool = False):
     """Build the fully fused image->pose function.
 
     Returns f(variables, image [b,h,w,3], key) -> (pose [b,3,4],
     kps [b,vn,2]); jit it once per image shape.
+
+    fused_tail=True routes the raw-conv + head + foreground selection
+    through the packed Pallas tail (see fused_tail_foreground); requires
+    a resnet*_8s-shaped PVNet and even image dims. The voting/PnP math
+    downstream is identical. Status: experimental — despite avoiding the
+    full-resolution field materialization it currently measures ~20%
+    slower than the plain path at batch 128 (the conv kernel's VMEM
+    im2col copies are the cap); kept as the basis for a future
+    direct-accumulation rewrite.
     """
     points_3d = jnp.asarray(points_3d, jnp.float32)
     K = jnp.asarray(K, jnp.float32)
+
+    def run_fused(variables, image, key):
+        from pvnet_tpu.ops import voting
+        k0, k1, k2 = jax.random.split(key, 3)
+        fg = fused_tail_foreground(apply_fn, variables, image,
+                                   params.max_num, k0)
+        kps = voting.ransac_voting_v3_from_fg(
+            fg, k1, hyp_num=params.hyp_num,
+            inlier_thresh=params.inlier_thresh, min_num=params.min_num,
+            impl=impl)
+        if uncertainty:
+            _, cov = voting.estimate_voting_distribution_from_fg(
+                fg, kps, k2, hyp_num=params.uncertainty_hyp_num,
+                inlier_thresh=params.inlier_thresh, impl=impl)
+            pose = poses_from_keypoints(points_3d, kps, K, covar=cov)
+            return pose, kps
+        pose = poses_from_keypoints(points_3d, kps, K)
+        return pose, kps
 
     def run(variables, image, key):
         mask, vertex = predict_fields(apply_fn, variables, image)
@@ -133,13 +196,14 @@ def make_pose_pipeline(apply_fn, points_3d, K,
         pose = poses_from_keypoints(points_3d, kps, K)
         return pose, kps
 
-    return run
+    return run_fused if fused_tail else run
 
 
 def make_sharded_pose_pipeline(mesh, apply_fn, points_3d, K,
                                params: VoteParams = VoteParams(),
                                uncertainty: bool = False,
-                               impl: Optional[str] = None):
+                               impl: Optional[str] = None,
+                               fused_tail: bool = False):
     """Data-parallel fused inference over a device mesh.
 
     Variables replicated, images split on dim 0 over the 'data' axis —
@@ -151,6 +215,6 @@ def make_sharded_pose_pipeline(mesh, apply_fn, points_3d, K,
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
     run = make_pose_pipeline(apply_fn, points_3d, K, params, uncertainty,
-                             impl)
+                             impl, fused_tail=fused_tail)
     return jax.jit(run, in_shardings=(repl, data, repl),
                    out_shardings=(data, data))
