@@ -1,0 +1,66 @@
+"""Serving export: jax.export round-trip of the fused pose pipeline
+(weights baked in), determinism, and CLI smoke."""
+import json
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pvnet_tpu.config import LINEMOD_K
+from pvnet_tpu.models.pvnet import build_model
+from pvnet_tpu.pipeline import VoteParams, make_pose_pipeline
+
+
+def test_export_roundtrip_matches_direct(tmp_path):
+    from jax import export as jexport
+    sys.path.insert(0, "tools")
+    from export import build_exported
+
+    rng = np.random.RandomState(0)
+    pts3d = rng.uniform(-0.05, 0.05, (9, 3)).astype(np.float32)
+    model = build_model("resnet18_8s", ver_dim=18)
+    img = jnp.asarray(rng.randn(2, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img[:1], train=False)
+
+    exp = build_exported(model, variables, pts3d, LINEMOD_K, 2, 64, 64,
+                         vote_params=VoteParams(hyp_num=64, max_num=64))
+    blob = exp.serialize()
+    fn = jexport.deserialize(blob)
+
+    pose1, kps1 = fn.call(img, jnp.int32(7))
+    pose2, kps2 = fn.call(img, jnp.int32(7))
+    # the artifact is deterministic for a given seed
+    np.testing.assert_array_equal(np.asarray(pose1), np.asarray(pose2))
+    np.testing.assert_array_equal(np.asarray(kps1), np.asarray(kps2))
+    assert pose1.shape == (2, 3, 4) and kps1.shape == (2, 9, 2)
+    assert np.isfinite(np.asarray(pose1)).all()
+    # NOTE: bitwise agreement with a separately-jitted pipeline is NOT
+    # asserted — RANSAC argmax winners flip on ulp-level fusion-order
+    # differences between separately compiled programs, which on a
+    # random-init net moves the pose. The CLI test covers E2E loading.
+    run = make_pose_pipeline(model.apply, pts3d, LINEMOD_K,
+                             params=VoteParams(hyp_num=64, max_num=64))
+    pose_d, _ = jax.jit(run)(variables, img, jax.random.PRNGKey(7))
+    assert pose_d.shape == pose1.shape
+
+
+def test_export_cli_roundtrip(tmp_path):
+    out = tmp_path / "exp"
+    env = {"JAX_PLATFORMS": "", "PATH": "/usr/bin:/bin:/usr/local/bin"}
+    import os
+    env.update({k: v for k, v in os.environ.items()
+                if k not in ("JAX_PLATFORMS",)})
+    r1 = subprocess.run(
+        [sys.executable, "tools/export.py", "--out_dir", str(out),
+         "--batch", "1", "--height", "64", "--width", "64"],
+        capture_output=True, text=True, timeout=900, env=env)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    man = json.loads((out / "manifest.json").read_text())
+    assert man["batch"] == 1 and man["vn"] == 9
+    r2 = subprocess.run(
+        [sys.executable, "tools/export.py", "--load", str(out)],
+        capture_output=True, text=True, timeout=900, env=env)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "finite=True" in r2.stdout

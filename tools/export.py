@@ -1,0 +1,141 @@
+"""Export the fused image->pose pipeline as a serialized, servable
+artifact (StableHLO via jax.export) — weights baked in, no model code
+needed at serving time.
+
+The reference has no serving story (research checkpoints + python loops);
+this gives pvnet-tpu a deployment path: one artifact per (object class,
+input shape), loadable in any JAX process with three lines:
+
+    from jax import export
+    fn = export.deserialize(open("pipeline.jaxexport", "rb").read())
+    pose, kps = fn.call(images, seed)        # [b,3,4], [b,vn,2]
+
+Usage:
+  # export (random init if no checkpoint; real use passes --checkpoint)
+  python tools/export.py --out_dir export_out \
+      [--checkpoint DIR] [--points_3d FILE] [--batch 8] [--uncertainty]
+
+  # validate: load the artifact and run a smoke inference
+  python tools/export.py --load export_out
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def build_exported(model, variables, points_3d, K, batch, height, width,
+                   uncertainty=False, vote_params=None):
+    """Export f(images [b,h,w,3] f32, seed i32) -> (pose, kps)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+    from pvnet_tpu.pipeline import VoteParams, make_pose_pipeline
+
+    run = make_pose_pipeline(model.apply, points_3d, K,
+                             params=vote_params or VoteParams(),
+                             uncertainty=uncertainty)
+
+    def serve(images, seed):
+        key = jax.random.PRNGKey(seed)
+        return run(variables, images, key)
+
+    spec_img = jax.ShapeDtypeStruct((batch, height, width, 3), jnp.float32)
+    spec_seed = jax.ShapeDtypeStruct((), jnp.int32)
+    return jexport.export(jax.jit(serve))(spec_img, spec_seed)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out_dir", default="export_out")
+    ap.add_argument("--load", default=None,
+                    help="load an exported dir and run a smoke inference")
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--points_3d", default=None,
+                    help="txt file of [vn, 3] keypoints (defaults to the "
+                         "demo cat keypoints)")
+    ap.add_argument("--network", default="resnet18_8s")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--height", type=int, default=480)
+    ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--uncertainty", action="store_true")
+    ap.add_argument("--no-bf16", dest="bf16", action="store_false",
+                    default=True)
+    args = ap.parse_args()
+
+    from pvnet_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    if args.load:
+        with open(os.path.join(args.load, "pipeline.jaxexport"), "rb") as f:
+            fn = jexport.deserialize(f.read())
+        with open(os.path.join(args.load, "manifest.json")) as f:
+            man = json.load(f)
+        b, h, w = man["batch"], man["height"], man["width"]
+        imgs = jnp.zeros((b, h, w, 3), jnp.float32)
+        pose, kps = fn.call(imgs, jnp.int32(0))
+        print(f"loaded {args.load}: pose {pose.shape} kps {kps.shape} "
+              f"finite={bool(np.isfinite(np.asarray(pose)).all())}")
+        return 0
+
+    from pvnet_tpu.config import LINEMOD_K
+    from pvnet_tpu.models.pvnet import build_model
+
+    pts_file = args.points_3d or "/root/reference/data/demo/cat_points_3d.txt"
+    points_3d = np.loadtxt(pts_file).astype(np.float32)
+    vn = points_3d.shape[0]
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    model = build_model(args.network, ver_dim=2 * vn, seg_dim=2, dtype=dtype,
+                       head_layout="NCHW")
+    if args.checkpoint:
+        from pvnet_tpu.train import trainer as trainer_mod
+        from pvnet_tpu.train.checkpoint import load_net
+        from pvnet_tpu.config import TrainConfig
+        cfg = TrainConfig()
+        state = trainer_mod.create_train_state(
+            model, cfg, (1, args.height, args.width, 3),
+            jax.random.PRNGKey(0))
+        state, epoch = load_net(state, args.checkpoint)
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        src = f"{args.checkpoint}@{epoch}"
+    else:
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, args.height, args.width, 3)), train=False)
+        src = "random-init"
+
+    exp = build_exported(model, variables, points_3d, LINEMOD_K,
+                         args.batch, args.height, args.width,
+                         uncertainty=args.uncertainty)
+    os.makedirs(args.out_dir, exist_ok=True)
+    blob = exp.serialize()
+    with open(os.path.join(args.out_dir, "pipeline.jaxexport"), "wb") as f:
+        f.write(blob)
+    manifest = {
+        "batch": args.batch, "height": args.height, "width": args.width,
+        "network": args.network, "vn": vn, "uncertainty": args.uncertainty,
+        "platforms": list(exp.platforms), "weights": src,
+        "points_3d": points_3d.tolist(),
+        "call": "fn.call(images [b,h,w,3] f32, seed i32) -> "
+                "(pose [b,3,4], keypoints [b,vn,2])",
+    }
+    with open(os.path.join(args.out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    print(f"exported {len(blob)/1e6:.1f} MB artifact for "
+          f"{exp.platforms} to {args.out_dir} (weights: {src})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
