@@ -1,14 +1,14 @@
 """Fused 3x3 convolution + affine + leaky-ReLU as a Pallas TPU kernel.
 
 Why this exists: XLA's TPU convolution runs the PVNet decoder's low-channel
-3x3 convs far below both the MXU and HBM rooflines (~25-31 TF/s measured on
-v5e for the 128->32 stage at 240x320, invariant to formulation), because a
-32-channel output occupies 32 of the MXU's 128 result lanes. This kernel
-reformulates the conv with **output space-to-depth packing**: each 2x2 block
-of output pixels is computed together, so the matmul's N dimension becomes
-4*cout (= 128 for the decoder stage) and the contraction is a 16-tap
-K-packed im2col built in VMEM. The packed form is mathematically identical
-to the plain conv:
+3x3 convs far below both the MXU and HBM rooflines (chained-scan timing:
+18-25 TF/s on v5e for the 2s/4s stages at batch 16 — small output channels
+waste MXU result lanes and T(8,128)-tiled HBM layouts lane-pad the
+activations). This kernel reformulates the conv with **output
+space-to-depth packing**: each 2x2 block of output pixels is computed
+together, so the matmul's N dimension becomes 4*cout (= 128 for the
+decoder stage) and the contraction is a 16-tap K-packed im2col built in
+VMEM. The packed form is mathematically identical to the plain conv:
 
     out[b, 2i+a, 2j+c, o] = packed[b, i, j, (a*2+c)*cout + o]
 
@@ -28,6 +28,13 @@ Constraints (the kernel is a fast path, not a general conv):
     lane-aligned at 128),
   - stride 1, dilation 1, 'SAME' padding — the PVNet decoder shape.
 Anything else should use the plain XLA conv.
+
+Status: measured 0.7-0.9x of XLA's conv on the decoder stages — the
+16 shifted VMEM im2col copies (sublane offsets + half-lane selects)
+dominate and cap the matmul. Kept as the basis of the fused inference
+tail (ops/tail_kernel.py, also experimental) and for a future
+direct-accumulation rewrite; see CLAUDE.md "Performance rules" for the
+measurement methodology.
 """
 from __future__ import annotations
 
