@@ -54,16 +54,16 @@ def crop_or_padding_to_fixed_size_instance(img, mask, hcoords, th, tw,
     hs, ws = np.nonzero(mask)
     hmin, hmax = np.min(hs), np.max(hs)
     wmin, wmax = np.min(ws), np.max(ws)
-    fh, fw = hmax - hmin, wmax - wmin
+    box_h, box_w = hmax - hmin, wmax - wmin
     hpad, wpad = th >= h, tw >= w
 
-    hrmax = int(min(hmin + overlap_ratio * fh, h - th))
-    hrmin = int(max(hmin + overlap_ratio * fh - th, 0))
-    wrmax = int(min(wmin + overlap_ratio * fw, w - tw))
-    wrmin = int(max(wmin + overlap_ratio * fw - tw, 0))
+    row_beg_hi = int(min(hmin + overlap_ratio * box_h, h - th))
+    row_beg_lo = int(max(hmin + overlap_ratio * box_h - th, 0))
+    col_beg_hi = int(min(wmin + overlap_ratio * box_w, w - tw))
+    col_beg_lo = int(max(wmin + overlap_ratio * box_w - tw, 0))
 
-    hbeg = 0 if hpad else rng.randint(hrmin, max(hrmax, hrmin + 1))
-    wbeg = 0 if wpad else rng.randint(wrmin, max(wrmax, wrmin + 1))
+    hbeg = 0 if hpad else rng.randint(row_beg_lo, max(row_beg_hi, row_beg_lo + 1))
+    wbeg = 0 if wpad else rng.randint(col_beg_lo, max(col_beg_hi, col_beg_lo + 1))
 
     img = img[hbeg:hbeg + th, wbeg:wbeg + tw]
     mask = mask[hbeg:hbeg + th, wbeg:wbeg + tw]
@@ -197,7 +197,7 @@ def color_jitter(img: np.ndarray, brightness: float, contrast: float,
         if contrast > 0 else 1.0
     fs = rng.uniform(max(0, 1 - saturation), 1 + saturation) \
         if saturation > 0 else 1.0
-    fh = rng.uniform(-hue, hue) if hue > 0 else 0.0
+    f_hue = rng.uniform(-hue, hue) if hue > 0 else 0.0
 
     # brightness/contrast/saturation compose into one fused-multiply-add:
     #   x' = a*x + b*gray(x) + c   with
@@ -213,9 +213,9 @@ def color_jitter(img: np.ndarray, brightness: float, contrast: float,
         + bcoef * gray.astype(np.float32)[..., None] + ccoef
     out = np.clip(out, 0, 255).astype(np.uint8)
 
-    if fh != 0.0:
+    if f_hue != 0.0:
         hsv = cv2.cvtColor(out, cv2.COLOR_RGB2HSV)
-        hshift = np.uint8(int(fh * 180.0) % 180)
+        hshift = np.uint8(int(f_hue * 180.0) % 180)
         hsv[..., 0] = (hsv[..., 0] + hshift) % 180
         out = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
     return out
@@ -252,25 +252,25 @@ def fused_rotate_crop_resize(img, mask, hcoords, imheight, imwidth,
     rc = corners @ R.T                                    # [4, 2]
     wmin, wmax = rc[:, 0].min(), rc[:, 0].max()
     hmin, hmax = rc[:, 1].min(), rc[:, 1].max()
-    fh, fw = hmax - hmin, wmax - wmin
+    box_h, box_w = hmax - hmin, wmax - wmin
 
     resize_ratio = rng.uniform(ratio_min, ratio_max)
     th = int(imheight * resize_ratio)
     tw = int(imwidth * resize_ratio)
 
     hpad, wpad = th >= h, tw >= w
-    hrmax = int(min(hmin + overlap_ratio * fh, h - th))
-    hrmin = int(max(hmin + overlap_ratio * fh - th, 0))
-    wrmax = int(min(wmin + overlap_ratio * fw, w - tw))
-    wrmin = int(max(wmin + overlap_ratio * fw - tw, 0))
+    row_beg_hi = int(min(hmin + overlap_ratio * box_h, h - th))
+    row_beg_lo = int(max(hmin + overlap_ratio * box_h - th, 0))
+    col_beg_hi = int(min(wmin + overlap_ratio * box_w, w - tw))
+    col_beg_lo = int(max(wmin + overlap_ratio * box_w - tw, 0))
     if hpad:
         hbeg = -((th - h) // 2)
     else:
-        hbeg = rng.randint(hrmin, max(hrmax, hrmin + 1))
+        hbeg = rng.randint(row_beg_lo, max(row_beg_hi, row_beg_lo + 1))
     if wpad:
         wbeg = -((tw - w) // 2)
     else:
-        wbeg = rng.randint(wrmin, max(wrmax, wrmin + 1))
+        wbeg = rng.randint(col_beg_lo, max(col_beg_hi, col_beg_lo + 1))
 
     # full map: resize(1/ratio) o translate(-beg) o rotate
     s = 1.0 / resize_ratio

@@ -95,27 +95,90 @@ def make_duck_mesh(n_theta: int = 16, n_phi: int = 24, scale: float = 0.05
                    colors=colors)
 
 
-def render_synthetic_view(mesh: PlyMesh, pose: np.ndarray, K: np.ndarray,
-                          h: int, w: int,
-                          rng: Optional[np.random.RandomState] = None
-                          ) -> Tuple[np.ndarray, np.ndarray]:
-    """(rgb uint8 [h, w, 3], mask uint8 [h, w]) via the numpy z-buffer,
-    with per-vertex colors barycentrically interpolated and depth-shaded."""
+def make_distractor_mesh(rng: np.random.RandomState,
+                         scale: float = 0.04) -> PlyMesh:
+    """A random lumpy blob with its own color scheme — occluder / clutter
+    object for occlusion-style training images (stand-in for the other
+    LINEMOD objects the reference's fuse set composites,
+    ref data_utils.py:304-334)."""
+    n_theta, n_phi = 10, 14
+    bump_ph = rng.uniform(0, 2 * np.pi)
+    bump_th = rng.uniform(0.5, 2.5)
+    bump_amp = rng.uniform(-0.3, 0.5)
+    ax = rng.uniform(0.6, 1.4, 3)
+    verts = []
+    for i in range(n_theta + 1):
+        th = np.pi * i / n_theta
+        for j in range(n_phi):
+            ph = 2 * np.pi * j / n_phi
+            r = 1.0 + bump_amp * np.exp(
+                -((ph - bump_ph) ** 2 + (th - bump_th) ** 2) / 0.4)
+            verts.append([ax[0] * r * np.sin(th) * np.cos(ph) * scale,
+                          ax[1] * r * np.sin(th) * np.sin(ph) * scale,
+                          ax[2] * r * np.cos(th) * scale])
+    verts = np.asarray(verts, np.float32)
+    faces = []
+    for i in range(n_theta):
+        for j in range(n_phi):
+            a = i * n_phi + j
+            b = i * n_phi + (j + 1) % n_phi
+            c = (i + 1) * n_phi + j
+            d = (i + 1) * n_phi + (j + 1) % n_phi
+            faces.append([a, b, c])
+            faces.append([b, d, c])
+    base = rng.randint(60, 220, 3)
+    rel = (verts - verts.min(0)) / np.maximum(verts.max(0) - verts.min(0),
+                                              1e-9)
+    colors = np.clip(base[None, :] + 60 * (rel - 0.5), 0, 255).astype(
+        np.uint8)
+    return PlyMesh(vertices=verts, faces=np.asarray(faces, np.int32),
+                   colors=colors)
+
+
+def _render_object(mesh: PlyMesh, pose: np.ndarray, K: np.ndarray,
+                   h: int, w: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(shaded color [h,w,3] float32, depth [h,w]; depth 0 = background)."""
     from pvnet_tpu.ops.rasterize import render_mesh_attributes
-    rng = rng or np.random.RandomState(0)
-    if mesh.colors is not None:
-        attrs = mesh.colors.astype(np.float32)
-    else:
-        attrs = np.full((mesh.vertices.shape[0], 3), 180.0, np.float32)
+    attrs = (mesh.colors.astype(np.float32) if mesh.colors is not None
+             else np.full((mesh.vertices.shape[0], 3), 180.0, np.float32))
     color_img, depth = render_mesh_attributes(
         pose, K, mesh.vertices, mesh.faces, attrs, h, w)
-    mask = (depth > 0).astype(np.uint8)
-    rgb = rng.randint(0, 80, (h, w, 3)).astype(np.uint8)  # noisy background
-    if mask.any():
-        zmin, zmax = depth[mask > 0].min(), depth[mask > 0].max()
+    m = depth > 0
+    if m.any():
+        zmin, zmax = depth[m].min(), depth[m].max()
         shade = 1.0 - 0.5 * (depth - zmin) / max(zmax - zmin, 1e-6)
-        shaded = np.clip(color_img * shade[..., None], 0, 255)
-        rgb[mask > 0] = shaded[mask > 0].astype(np.uint8)
+        color_img = np.clip(color_img * shade[..., None], 0, 255)
+    return color_img, depth
+
+
+def render_synthetic_view(mesh: PlyMesh, pose: np.ndarray, K: np.ndarray,
+                          h: int, w: int,
+                          rng: Optional[np.random.RandomState] = None,
+                          distractors=()
+                          ) -> Tuple[np.ndarray, np.ndarray]:
+    """(rgb uint8 [h, w, 3], mask uint8 [h, w]) via the numpy z-buffer.
+
+    ``distractors`` is a sequence of (mesh, pose) clutter objects composited
+    by nearest depth — the returned mask marks only the *visible* pixels of
+    the target object, so occluded regions train the occlusion robustness
+    the reference gets from its fuse set + mask-out augmentation
+    (ref data_utils.py:304-334, augmentation.py:187-202).
+    """
+    rng = rng or np.random.RandomState(0)
+    color_img, depth = _render_object(mesh, pose, K, h, w)
+    depth = np.where(depth > 0, depth, np.inf)
+    owner = np.where(np.isfinite(depth), 0, -1)             # -1 = background
+    for di, (dmesh, dpose) in enumerate(distractors):
+        dcol, dd = _render_object(dmesh, dpose, K, h, w)
+        dd = np.where(dd > 0, dd, np.inf)
+        closer = dd < depth
+        depth = np.where(closer, dd, depth)
+        owner = np.where(closer, di + 1, owner)
+        color_img = np.where(closer[..., None], dcol, color_img)
+    mask = (owner == 0).astype(np.uint8)
+    rgb = rng.randint(0, 80, (h, w, 3)).astype(np.uint8)  # noisy background
+    vis = owner >= 0
+    rgb[vis] = color_img[vis].astype(np.uint8)
     return rgb, mask
 
 
@@ -128,10 +191,40 @@ def sample_object_pose(rng: np.random.RandomState,
     return np.concatenate([R, t[:, None]], 1).astype(np.float32)
 
 
+def sample_distractors(pose: np.ndarray, rng: np.random.RandomState,
+                       meshes, occluder_prob: float = 0.0,
+                       max_clutter: int = 0):
+    """(mesh, pose) clutter list for one image.
+
+    With probability ``occluder_prob`` one distractor is placed *on the
+    camera ray to the target*, 60-85% of its distance — guaranteed partial
+    occlusion; up to ``max_clutter`` more are scattered nearby (fuse-style
+    multi-object composites, ref data_utils.py:304-334)."""
+    out = []
+    t = pose[:, 3]
+    if meshes and rng.rand() < occluder_prob:
+        frac = rng.uniform(0.6, 0.85)
+        jitter = np.array([rng.uniform(-0.02, 0.02),
+                           rng.uniform(-0.02, 0.02), 0.0])
+        dpose = sample_object_pose(rng)
+        dpose[:, 3] = t * frac + jitter
+        out.append((meshes[rng.randint(len(meshes))], dpose))
+    for _ in range(rng.randint(0, max_clutter + 1) if max_clutter else 0):
+        dpose = sample_object_pose(rng)
+        dpose[:, 3] = t + np.array([rng.uniform(-0.15, 0.15),
+                                    rng.uniform(-0.12, 0.12),
+                                    rng.uniform(-0.1, 0.25)])
+        out.append((meshes[rng.randint(len(meshes))], dpose))
+    return out
+
+
 def generate_synthetic_linemod(root: str, cls_name: str = "duck",
                                num_images: int = 20,
                                image_hw: Tuple[int, int] = (480, 640),
-                               seed: int = 0) -> PathConfig:
+                               seed: int = 0,
+                               occluder_prob: float = 0.0,
+                               max_clutter: int = 0,
+                               n_distractor_meshes: int = 8) -> PathConfig:
     """Write a miniature LINEMOD tree under ``root``.
 
     Layout produced (all consumed by data.linemod builders):
@@ -139,8 +232,14 @@ def generate_synthetic_linemod(root: str, cls_name: str = "duck",
       train.txt/val.txt/test.txt
       LINEMOD_ORIG/{cls}/data/rot{k}.rot + tra{k}.tra, distance.txt,
       mesh.ply
+
+    ``occluder_prob``/``max_clutter`` inject distractor objects per image
+    (see :func:`sample_distractors`); masks mark visible target pixels only.
     """
     rng = np.random.RandomState(seed)
+    distractor_meshes = [make_distractor_mesh(rng)
+                         for _ in range(n_distractor_meshes)] \
+        if (occluder_prob > 0 or max_clutter > 0) else []
     h, w = image_hw
     paths = PathConfig(data_dir=root)
     cls_dir = os.path.join(paths.linemod_dir, cls_name)
@@ -167,7 +266,10 @@ def generate_synthetic_linemod(root: str, cls_name: str = "duck",
     names = []
     for k in range(num_images):
         pose = sample_object_pose(rng)
-        rgb, mask = render_synthetic_view(mesh, pose, LINEMOD_K, h, w, rng)
+        distractors = sample_distractors(pose, rng, distractor_meshes,
+                                         occluder_prob, max_clutter)
+        rgb, mask = render_synthetic_view(mesh, pose, LINEMOD_K, h, w, rng,
+                                          distractors=distractors)
         Image.fromarray(rgb).save(
             os.path.join(cls_dir, "JPEGImages", f"{k:06}.jpg"))
         Image.fromarray(mask * 255).save(

@@ -186,6 +186,89 @@ class PVNet(nn.Module):
         return seg_pred, ver_pred
 
 
+def _half_pixel_down2_matrix(out_size: int) -> np.ndarray:
+    """[out, 2*out] bilinear 0.5x downsample matrix with half-pixel
+    sampling (torch F.interpolate(scale_factor=0.5, mode='bilinear',
+    align_corners=False) semantics): source pos = 2*i + 0.5, i.e. the mean
+    of each adjacent pixel pair."""
+    A = np.zeros((out_size, 2 * out_size), np.float32)
+    A[np.arange(out_size), 2 * np.arange(out_size)] = 0.5
+    A[np.arange(out_size), 2 * np.arange(out_size) + 1] = 0.5
+    return A
+
+
+def downsample_bilinear_half(x: jnp.ndarray) -> jnp.ndarray:
+    """NHWC 0.5x bilinear downsample matching torch F.interpolate
+    (align_corners=False), as two interpolation matmuls."""
+    b, h, w, c = x.shape
+    Ah = jnp.asarray(_half_pixel_down2_matrix(h // 2), x.dtype)
+    Aw = jnp.asarray(_half_pixel_down2_matrix(w // 2), x.dtype)
+    y = jnp.einsum("oh,bhwc->bowc", Ah, x)
+    return jnp.einsum("pw,bowc->bopc", Aw, y)
+
+
+class PVNet2o(nn.Module):
+    """Half-resolution-output PVNet variant (ref Resnet50_8s_2o,
+    model_repository.py:158-224).
+
+    The decoder stops at stride 2: conv8s -> up -> conv4s -> up -> a 2s
+    stage whose input concatenates the decoder features, the backbone's
+    x2s skip, and a 0.5x bilinearly downsampled copy of the input image
+    (ref :219-220), then emits seg_dim + ver_dim channels at h/2 x w/2.
+    Unused by the shipped training recipe; inventoried for parity.
+    """
+    ver_dim: int
+    seg_dim: int = 2
+    block: Any = Bottleneck
+    stage_sizes: Tuple[int, ...] = (3, 4, 6, 3)
+    fcdim: int = 384
+    s8dim: int = 256
+    s4dim: int = 128
+    s2dim: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        """x: [b, h, w, 3] NHWC (h, w even). Returns
+        (seg [b, h/2, w/2, seg_dim], ver [b, h/2, w/2, ver_dim])."""
+        x_in = x.astype(self.dtype)
+
+        backbone = ResNetBackbone(block=self.block,
+                                  stage_sizes=self.stage_sizes,
+                                  output_stride=8, dtype=self.dtype)
+        x2s, x4s, x8s, x16s, x32s = backbone(x_in, train=train)
+
+        conv = partial(nn.Conv, dtype=self.dtype,
+                       kernel_init=he_fanout_normal())
+        norm = partial(nn.BatchNorm, use_running_average=not train,
+                       momentum=0.9, epsilon=1e-5, dtype=self.dtype)
+        lrelu = partial(nn.leaky_relu, negative_slope=0.1)
+
+        xfc = conv(self.fcdim, (3, 3), padding=[(1, 1)] * 2,
+                   use_bias=False)(x32s)
+        xfc = nn.relu(norm()(xfc))
+
+        fm = conv(self.s8dim, (3, 3), padding=[(1, 1)] * 2, use_bias=False)(
+            jnp.concatenate([xfc, x8s], axis=-1))
+        fm = lrelu(norm()(fm))
+        fm = upsample_bilinear_align_corners(fm, x4s.shape[1], x4s.shape[2])
+
+        fm = conv(self.s4dim, (3, 3), padding=[(1, 1)] * 2, use_bias=False)(
+            jnp.concatenate([fm, x4s], axis=-1))
+        fm = lrelu(norm()(fm))
+        fm = upsample_bilinear_align_corners(fm, x2s.shape[1], x2s.shape[2])
+
+        x_ds = downsample_bilinear_half(x_in)
+        fm = conv(self.s2dim, (3, 3), padding=[(1, 1)] * 2, use_bias=False)(
+            jnp.concatenate([fm, x2s, x_ds], axis=-1))
+        fm = lrelu(norm()(fm))
+        out = nn.Conv(self.seg_dim + self.ver_dim, (1, 1), dtype=self.dtype,
+                      kernel_init=he_fanout_normal())(fm)
+
+        out = out.astype(jnp.float32)
+        return out[..., :self.seg_dim], out[..., self.seg_dim:]
+
+
 def pvnet_resnet18(ver_dim: int, seg_dim: int = 2, **kw) -> PVNet:
     """Resnet18_8s equivalent — THE production model
     (ref model_repository.py:7-80, train_linemod.py:256)."""
@@ -210,6 +293,12 @@ def pvnet_resnet50(ver_dim: int, seg_dim: int = 2, **kw) -> PVNet:
                  stage_sizes=(3, 4, 6, 3), **kw)
 
 
+def pvnet_resnet50_2o(ver_dim: int, seg_dim: int = 2, **kw) -> PVNet2o:
+    """Resnet50_8s_2o equivalent — half-resolution output
+    (ref model_repository.py:158-224)."""
+    return PVNet2o(ver_dim=ver_dim, seg_dim=seg_dim, **kw)
+
+
 def build_model(network: str, ver_dim: int, seg_dim: int = 2, **kw) -> PVNet:
     """Factory keyed by the recipe's ``network`` field
     (ref configs/linemod_train.json: "resnet18_8s")."""
@@ -217,6 +306,7 @@ def build_model(network: str, ver_dim: int, seg_dim: int = 2, **kw) -> PVNet:
         "resnet18_8s": pvnet_resnet18,
         "resnet34_8s": pvnet_resnet34,
         "resnet50_8s": pvnet_resnet50,
+        "resnet50_8s_2o": pvnet_resnet50_2o,
     }
     if network not in factories:
         raise ValueError(f"unknown network '{network}'; "

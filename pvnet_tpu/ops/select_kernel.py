@@ -63,7 +63,9 @@ def _kernel(score_ref, vert_ref, exp_ref, best_ref, idx_ref, dirs_ref,
         m = jax.lax.dot(better.astype(jnp.float32), E,
                         preferred_element_type=jnp.float32)  # [a, bb*C]
         vslice = vert_ref[0, :, tx * bb * c:(tx + 1) * bb * c]
-        bdirs = bdirs + m.astype(bdirs.dtype) * (vslice - bdirs)
+        # exact select (m is exactly 0.0/1.0): a bf16 arithmetic blend
+        # would re-round and drift ~1 ulp from the true field values
+        bdirs = jnp.where(m > 0, vslice, bdirs)
 
     best_ref[0] = best
     idx_ref[0] = bidx

@@ -75,11 +75,13 @@ def fold_tail_params(w_raw, bn_scale, bn_bias, bn_mean, bn_var,
     hout = wh.shape[1]
     w_head_bd = jnp.kron(jnp.eye(4, dtype=jnp.float32), wh)  # [4c, 4h]
 
+    # foreground = class 1 of 2 (ref train_linemod.py:99-102); the fixed
+    # -seg0/+seg1 extractor below only supports that head layout
+    assert seg_dim == 2, seg_dim
     w_fg = np.zeros((4 * hout, 8), np.float32)
     for p in range(4):
         w_fg[p * hout + 0, p] = -1.0                        # -seg0
         w_fg[p * hout + 1, p] = 1.0                         # +seg1
-    del seg_dim  # foreground = class 1 of 2 (ref train_linemod.py:99-102)
 
     return TailParams(
         w_packed,

@@ -59,12 +59,40 @@ _NORM_EPS_SQ = 1e-12
 
 
 class ForegroundSample(NamedTuple):
-    """Fixed-shape foreground pixel sample of a segmentation mask."""
+    """Fixed-shape foreground pixel sample of a segmentation mask.
+
+    Invariant: **valid slots form a contiguous prefix** — slot i is valid
+    iff i < count. Pair sampling in :func:`generate_hypotheses` (and the
+    vanishing-point variant) draws slot indices uniformly from [0, count)
+    and relies on this. The top-k selection path provides it for free
+    (scores sort valid-first); the stratified/packed samplers enforce it
+    with :func:`_compact_valid_prefix`.
+    """
     coords: jnp.ndarray   # [b, tn, 2] float32 (x, y) pixel coordinates
     dirs: jnp.ndarray     # [b, tn, vn, 2] predicted unit-vector field
     valid: jnp.ndarray    # [b, tn] bool; False entries never vote
     count: jnp.ndarray    # [b] int32 number of valid entries (kept pixels)
     total: jnp.ndarray    # [b] int32 foreground pixels before subsampling
+
+
+def _compact_valid_prefix(coords: jnp.ndarray, dirs: jnp.ndarray,
+                          valid: jnp.ndarray
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Permute sample slots so valid entries form a contiguous prefix.
+
+    Stratified phase-grid selection leaves each winner at its phase
+    position, so any mask that doesn't cover every phase bucket (small /
+    distant / heavily occluded objects) interleaves invalid slots through
+    the range. Without compaction, uniform pair sampling over [0, count)
+    draws degenerate zero-direction slots and can never reach valid slots
+    at index >= count. A stable argsort over ~valid is cheap at tn ~ 1024
+    (the gathers move ~tn rows once, vs. hn pair-gathers downstream).
+    """
+    order = jnp.argsort(~valid, axis=1, stable=True)        # valid-first
+    coords = jnp.take_along_axis(coords, order[..., None], axis=1)
+    dirs = jnp.take_along_axis(dirs, order[:, :, None, None], axis=1)
+    valid = jnp.take_along_axis(valid, order, axis=1)
+    return coords, dirs, valid
 
 
 def _phase_grid(tn: int) -> Tuple[int, int]:
@@ -173,6 +201,7 @@ def _sample_foreground_stratified(mask, vertex, tn, key) -> ForegroundSample:
     xs = (tx * bb + phase_x[None, :]).astype(jnp.float32)
     coords = jnp.stack([xs, ys], axis=-1)                    # [b, tn, 2]
 
+    coords, dirs, valid = _compact_valid_prefix(coords, dirs, valid)
     count = jnp.sum(valid, axis=1).astype(jnp.int32)
     return ForegroundSample(coords, dirs, valid, count, total)
 
@@ -267,6 +296,9 @@ def sample_foreground_packed(packed: jnp.ndarray, fgcnt: jnp.ndarray,
     """
     b, HP, WP, h4 = packed.shape
     hout = h4 // 4
+    # the sub-pixel foreground test below compares seg logits 1 vs 0
+    # (ref train_linemod.py:99-102); other head layouts are unsupported
+    assert seg_dim == 2, seg_dim
     vn = (hout - seg_dim) // 2
     assert tn % 4 == 0, tn
     blocks = tn // 4
@@ -311,10 +343,11 @@ def sample_foreground_packed(packed: jnp.ndarray, fgcnt: jnp.ndarray,
     xs = 2 * cell_x[:, :, None] + (par % 2)[None, None, :]
     coords = jnp.stack([xs, ys], axis=-1).astype(jnp.float32)
 
-    valid = sub_valid.reshape(b, tn)
+    coords, dirs, valid = _compact_valid_prefix(
+        coords.reshape(b, tn, 2), dirs.reshape(b, tn, vn, 2),
+        sub_valid.reshape(b, tn))
     count = jnp.sum(valid, axis=1).astype(jnp.int32)
-    return ForegroundSample(coords.reshape(b, tn, 2),
-                            dirs.reshape(b, tn, vn, 2), valid, count, total)
+    return ForegroundSample(coords, dirs, valid, count, total)
 
 
 def generate_hypotheses(fg: ForegroundSample, hn: int, key: jax.Array,
@@ -682,6 +715,100 @@ def ransac_voting_v3_from_fg(fg: ForegroundSample, key: jax.Array,
     return jnp.where(ok, refined, 0.0)
 
 
+def ransac_voting_v2(mask: jnp.ndarray, vertex: jnp.ndarray, key: jax.Array,
+                     hyp_num: int = 1024, inlier_thresh: float = 0.999,
+                     max_num: int = 1024, min_num: int = 5,
+                     refine_iter_num: int = 1,
+                     impl: Optional[str] = None,
+                     select_method: str = "auto") -> jnp.ndarray:
+    """v2 voting: RANSAC winner + ``refine_iter_num`` rounds of re-vote and
+    least-squares refit (ref ransac_voting_gpu.py:99-215).
+
+    Each refinement round re-runs the inlier vote on the *current* point and
+    refits by least squares over the inlier normals — the reference solves
+    ``pinverse(A) b`` per keypoint (ref :183-205), which equals the normal
+    equations ``(N^T N)^{-1} N^T b`` whenever >= 2 independent rays support
+    the point; singular systems keep the previous point (the reference's
+    pinverse would return a minimum-norm garbage solution there; its
+    empty-inlier guard at :194-196 returns zeros — we keep the RANSAC
+    winner, strictly better).
+
+    With ``refine_iter_num=1`` this is exactly v3 (one vote + one WLS fit),
+    which is why the production path uses v3; the extra iterations matter
+    only when the winner is far enough off that its inlier set shifts
+    (see tests/test_voting.py::TestV2Refinement). The reference's default
+    inlier threshold here is 0.999 (ref :99), tighter than v3's 0.99.
+
+    Returns [b, vn, 2] voted keypoints (single foreground class; wrap with
+    :func:`ransac_voting_multiclass` for the reference's [b,cn,vn,2] form).
+    """
+    k1, k2 = jax.random.split(key)
+    fg = sample_foreground(mask, vertex, max_num, k1, method=select_method)
+    hyps = generate_hypotheses(fg, hyp_num, k2)
+    counts = count_inliers(fg, hyps, inlier_thresh, impl=impl)
+    win_idx = jnp.argmax(counts, axis=1)
+    pts = jnp.take_along_axis(
+        hyps, win_idx[:, None, :, None], axis=1)[:, 0]      # [b, vn, 2]
+
+    for _ in range(refine_iter_num):
+        pts, _ = _wls_refine(fg, pts, inlier_thresh)
+
+    ok = (fg.total >= min_num)[:, None, None]
+    return jnp.where(ok, pts, 0.0)
+
+
+def estimate_voting_distribution(
+        mask: jnp.ndarray, vertex: jnp.ndarray, key: jax.Array,
+        round_hyp_num: int = 256, min_hyp_num: int = 4096, topk: int = 128,
+        inlier_thresh: float = 0.99, min_num: int = 5, max_num: int = 1024,
+        impl: Optional[str] = None,
+        select_method: str = "auto") -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Hypothesis-distribution mean and covariance, no mean given.
+
+    Mirrors ref ransac_voting_gpu.py:263-331: generate
+    ``ceil(min_hyp_num / round_hyp_num) * round_hyp_num`` hypotheses (the
+    reference's rounds of 256 exist only because its CUDA buffers are sized
+    per round — one fused pass is equivalent), weight each by its inlier
+    ratio but keep only the per-keypoint top-k(128) weights (ref :321-322),
+    then form the weighted mean and the weighted 2x2 scatter about it.
+
+    The top-k cut is implemented as a threshold at the k-th ratio, which
+    keeps >= k hypotheses when ties straddle the boundary — RANSAC ratios
+    are i.i.d. over hypotheses, so ties beyond double precision are
+    measure-zero on real fields and the estimator is unchanged.
+
+    Images with < min_num foreground pixels return zero mean and zero cov
+    (the reference pads zero hypotheses with uniform weights, ref :273-278,
+    which yields the same zeros).
+
+    Returns (mean [b, vn, 2], cov [b, vn, 2, 2]).
+    """
+    hn = int(-(-min_hyp_num // round_hyp_num) * round_hyp_num)
+    k1, k2 = jax.random.split(key)
+    fg = sample_foreground(mask, vertex, max_num, k1, method=select_method)
+    hyps = generate_hypotheses(fg, hn, k2)                  # [b, hn, vn, 2]
+    counts = count_inliers(fg, hyps, inlier_thresh, impl=impl)
+
+    denom = jnp.maximum(fg.count, 1).astype(jnp.float32)[:, None, None]
+    ratio = counts.astype(jnp.float32) / denom              # [b, hn, vn]
+    rt = jnp.transpose(ratio, (0, 2, 1))                    # [b, vn, hn]
+    kth = jax.lax.top_k(rt, topk)[0][..., -1:]              # [b, vn, 1]
+    w = jnp.where(rt >= kth, rt, 0.0)
+    w = jnp.transpose(w, (0, 2, 1))                         # [b, hn, vn]
+
+    wsum = jnp.sum(w, axis=1) + 1e-12                       # [b, vn]
+    mean = jnp.sum(hyps * w[..., None], axis=1) / wsum[..., None]
+
+    diff = hyps - mean[:, None, :, :]                       # [b, hn, vn, 2]
+    cov = jnp.einsum("bhvi,bhvj->bvij", diff, diff * w[..., None])
+    cov = cov / wsum[..., None, None]
+
+    ok = (fg.total >= min_num)[:, None]
+    mean = jnp.where(ok[..., None], mean, 0.0)
+    cov = jnp.where(ok[..., None, None], cov, 0.0)
+    return mean, cov
+
+
 def ransac_voting_v5(mask: jnp.ndarray, vertex: jnp.ndarray, key: jax.Array,
                      hyp_num: int = 1024, inlier_thresh: float = 0.99,
                      max_num: int = 1024, min_num: int = 5,
@@ -801,6 +928,7 @@ def ransac_voting_multiclass(mask: jnp.ndarray, vertex: jnp.ndarray,
                              hyp_num: int = 1024,
                              inlier_thresh: float = 0.99,
                              max_num: int = 1024, min_num: int = 5,
+                             refine_iter_num: Optional[int] = None,
                              impl: Optional[str] = None) -> jnp.ndarray:
     """Multi-class voting: per class c in 1..class_num-1, vote keypoints on
     the pixels labeled c (ref ransac_voting_layer / _v2,
@@ -809,6 +937,9 @@ def ransac_voting_multiclass(mask: jnp.ndarray, vertex: jnp.ndarray,
 
     Args:
       mask: [b, h, w] integer labels (0 = background).
+      refine_iter_num: None = one WLS refine (v3, matching the reference's
+        plain ransac_voting_layer + its final fit); an integer selects the
+        v2 form with that many re-vote + refit rounds (ref :99-215).
     Returns:
       [b, class_num - 1, vn, 2].
     """
@@ -816,10 +947,17 @@ def ransac_voting_multiclass(mask: jnp.ndarray, vertex: jnp.ndarray,
     for c in range(1, class_num):
         key, sub = jax.random.split(key)
         cls_mask = (mask == c).astype(jnp.int32)
-        outs.append(ransac_voting_v3(
-            cls_mask, vertex, sub, hyp_num=hyp_num,
-            inlier_thresh=inlier_thresh, max_num=max_num, min_num=min_num,
-            impl=impl))
+        if refine_iter_num is None:
+            outs.append(ransac_voting_v3(
+                cls_mask, vertex, sub, hyp_num=hyp_num,
+                inlier_thresh=inlier_thresh, max_num=max_num,
+                min_num=min_num, impl=impl))
+        else:
+            outs.append(ransac_voting_v2(
+                cls_mask, vertex, sub, hyp_num=hyp_num,
+                inlier_thresh=inlier_thresh, max_num=max_num,
+                min_num=min_num, refine_iter_num=refine_iter_num,
+                impl=impl))
     return jnp.stack(outs, axis=1)
 
 

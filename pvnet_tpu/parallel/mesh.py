@@ -24,6 +24,18 @@ def make_mesh(shape: Optional[Tuple[int, ...]] = None,
       axis_names: one name per mesh dim; default 1-axis ('data',).
       devices: explicit device list (defaults to jax.devices()).
     """
+    if devices is None and jax.process_count() > 1:
+        # Multi-host: jax.devices() returns the GLOBAL device list, but
+        # shard_batch/replicate below device_put from *this* host — under
+        # multiple processes that silently builds a mesh whose sharding
+        # disagrees with what other hosts feed it. Multi-host input
+        # pipelines need jax.make_array_from_process_local_data plumbing
+        # the framework doesn't ship (the reference is single-node,
+        # SURVEY §2.7); fail loudly instead of corrupting batches.
+        raise NotImplementedError(
+            "make_mesh() supports a single process; got "
+            f"jax.process_count()={jax.process_count()}. Pass an explicit "
+            "device list and shard host-local data yourself.")
     devices = list(devices if devices is not None else jax.devices())
     if shape is None:
         shape = (len(devices),) + (1,) * (len(axis_names) - 1)

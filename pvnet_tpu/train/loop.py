@@ -77,10 +77,24 @@ class TrainLoop:
         self._eval_forward_cache = {}
 
     # -- state ------------------------------------------------------------
-    def init_state(self, input_hw=(256, 256)) -> trainer_mod.TrainState:
+    def init_state(self, input_hw=(256, 256),
+                   imagenet_pth: Optional[str] = None
+                   ) -> trainer_mod.TrainState:
+        """Fresh train state; with ``imagenet_pth``, the backbone is
+        initialized from a torchvision/model_zoo ImageNet checkpoint while
+        the decoder heads stay random — the reference's standard training
+        init (ref resnet.py:223-280)."""
         state = trainer_mod.create_train_state(
             self.model, self.cfg,
             (1, input_hw[0], input_hw[1], 3), jax.random.PRNGKey(self.cfg.seed))
+        if imagenet_pth:
+            from pvnet_tpu.utils.torch_convert import load_imagenet_backbone
+            arch = self.cfg.network.split("_")[0]       # resnet18_8s -> ...
+            new_vars = load_imagenet_backbone(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                imagenet_pth, arch=arch)
+            state = state.replace(params=new_vars["params"],
+                                  batch_stats=new_vars["batch_stats"])
         if self.mesh is not None:
             state = replicate(state, self.mesh)
         return state
@@ -306,10 +320,11 @@ class TrainLoop:
             name=self.cls_name)
 
     def fit(self, train_db, val_db, data_prefix: str,
-            epochs: Optional[int] = None, num_threads: int = 4):
+            epochs: Optional[int] = None, num_threads: int = 4,
+            imagenet_pth: Optional[str] = None):
         """Full training run with resume + per-epoch checkpointing
         (ref train_net() :305-347)."""
-        state = self.init_state()
+        state = self.init_state(imagenet_pth=imagenet_pth)
         state, begin_epoch = self.resume(state)
         train_loader, val_loader = self.make_loaders(
             train_db, val_db, data_prefix, num_threads)

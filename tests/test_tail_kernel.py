@@ -116,6 +116,29 @@ class TestPackedSampling:
         assert (mask[c[v, 1], c[v, 0]] == 1).all()
         np.testing.assert_allclose(d[~v], 0.0)
 
+    def test_packed_valid_slots_form_contiguous_prefix(self):
+        # boundary cells with 1-3 foreground sub-pixels (and small objects
+        # leaving phase buckets empty) must not interleave invalid slots
+        # through the pair-sampling range [0, count)
+        from tests.test_voting import make_field, KPTS
+        mask, vertex = make_field(128, 128, KPTS, (11, 18, 21, 26))
+        seg = np.stack([1.0 - 2 * mask, 2.0 * mask - 1], -1)
+        out = np.concatenate([seg, vertex.reshape(128, 128, 6)],
+                             -1).astype(np.float32)[None]
+        packed = jnp.asarray(self._packed_from_full(out))
+        fgcnt = jnp.asarray(
+            mask.reshape(64, 2, 64, 2).sum(axis=(1, 3)),
+            jnp.float32)[None]
+        fg = voting.sample_foreground_packed(packed, fgcnt, 256,
+                                             jax.random.PRNGKey(0))
+        v = np.asarray(fg.valid[0])
+        cnt = int(fg.count[0])
+        assert 0 < cnt < 256
+        assert v[:cnt].all() and not v[cnt:].any()
+        kps = voting.ransac_voting_v3_from_fg(fg, jax.random.PRNGKey(1),
+                                              hyp_num=256, impl="xla")
+        np.testing.assert_allclose(np.asarray(kps[0]), KPTS, atol=0.5)
+
     def test_voting_recovers_keypoints_from_packed(self):
         from tests.test_voting import make_field, KPTS, BOX
         mask, vertex = make_field(128, 128, KPTS, BOX)

@@ -110,3 +110,143 @@ class TestConversion:
         del sd["conv8s.0.weight"]
         with pytest.raises(KeyError):
             tc.convert_state_dict(sd)
+
+
+def synth_torchvision_state_dict(rng, arch="resnet18"):
+    """Random tensors with torchvision's EXACT ImageNet checkpoint key set
+    for resnet18/34/50 (incl. fc.weight/fc.bias and the
+    num_batches_tracked counters torch.nn.BatchNorm2d serializes)."""
+    stage_sizes, bottleneck = tc._ARCHS[arch]
+    expansion = 4 if bottleneck else 1
+    sd = {}
+
+    def conv(name, cout, cin, k):
+        # small scale keeps the 50-layer stack finite under random BN stats
+        sd[name + ".weight"] = (rng.randn(cout, cin, k, k) * 0.05
+                                ).astype(np.float32)
+
+    def bn(name, c):
+        sd[name + ".weight"] = rng.rand(c).astype(np.float32) + 0.5
+        sd[name + ".bias"] = rng.randn(c).astype(np.float32) * 0.1
+        sd[name + ".running_mean"] = rng.randn(c).astype(np.float32) * 0.1
+        sd[name + ".running_var"] = rng.rand(c).astype(np.float32) + 0.5
+        sd[name + ".num_batches_tracked"] = np.asarray(1000, np.int64)
+
+    conv("conv1", 64, 3, 7)
+    bn("bn1", 64)
+    inplanes = 64
+    for stage, (n, planes, stride) in enumerate(
+            zip(stage_sizes, (64, 128, 256, 512), (1, 2, 2, 2))):
+        for i in range(n):
+            pre = f"layer{stage + 1}.{i}"
+            cin = inplanes if i == 0 else planes * expansion
+            if bottleneck:
+                conv(pre + ".conv1", planes, cin, 1)
+                bn(pre + ".bn1", planes)
+                conv(pre + ".conv2", planes, planes, 3)
+                bn(pre + ".bn2", planes)
+                conv(pre + ".conv3", planes * 4, planes, 1)
+                bn(pre + ".bn3", planes * 4)
+            else:
+                conv(pre + ".conv1", planes, cin, 3)
+                bn(pre + ".bn1", planes)
+                conv(pre + ".conv2", planes, planes, 3)
+                bn(pre + ".bn2", planes)
+            if i == 0 and (stride != 1 or inplanes != planes * expansion):
+                conv(pre + ".downsample.0", planes * expansion, inplanes, 1)
+                bn(pre + ".downsample.1", planes * expansion)
+        inplanes = planes * expansion
+    sd["fc.weight"] = rng.randn(1000, 512 * expansion).astype(np.float32)
+    sd["fc.bias"] = rng.randn(1000).astype(np.float32)
+    return sd
+
+
+class TestImageNetBackbone:
+    @pytest.mark.parametrize("arch,network", [("resnet18", "resnet18_8s"),
+                                              ("resnet50", "resnet50_8s")])
+    def test_every_tensor_consumed_and_backbone_overwritten(self, rng, arch,
+                                                            network):
+        sd = synth_torchvision_state_dict(rng, arch)
+        model = build_model(network, ver_dim=18, seg_dim=2)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 32, 32, 3)), train=False)
+        new_vars = tc.load_imagenet_backbone(variables, sd, arch=arch)
+
+        # backbone params all replaced with the checkpoint values
+        stem = np.asarray(
+            new_vars["params"]["ResNetBackbone_0"]["Conv_0"]["kernel"])
+        np.testing.assert_allclose(
+            stem, np.transpose(sd["conv1.weight"], (2, 3, 1, 0)))
+        old_bb = jax.tree_util.tree_leaves(
+            variables["params"]["ResNetBackbone_0"])
+        new_bb = jax.tree_util.tree_leaves(
+            new_vars["params"]["ResNetBackbone_0"])
+        changed = sum(not np.allclose(np.asarray(a), np.asarray(b))
+                      for a, b in zip(old_bb, new_bb))
+        assert changed == len(old_bb)  # every backbone tensor consumed
+
+        # decoder heads stay at their fresh init (ref resnet.py:223-280:
+        # zoo weights for the backbone, random heads)
+        for name in ("Conv_0", "Conv_1", "Conv_5"):
+            np.testing.assert_array_equal(
+                np.asarray(variables["params"][name]["kernel"]),
+                np.asarray(new_vars["params"][name]["kernel"]))
+
+        # batch stats too
+        old_bs = jax.tree_util.tree_leaves(
+            variables["batch_stats"]["ResNetBackbone_0"])
+        new_bs = jax.tree_util.tree_leaves(
+            new_vars["batch_stats"]["ResNetBackbone_0"])
+        assert sum(not np.allclose(np.asarray(a), np.asarray(b))
+                   for a, b in zip(old_bs, new_bs)) == len(old_bs)
+
+        # and the result still runs
+        seg, _ = model.apply(new_vars, jnp.zeros((1, 32, 32, 3)),
+                             train=False)
+        assert np.isfinite(np.asarray(seg)).all()
+
+    def test_leftover_tensor_rejected(self, rng):
+        sd = synth_torchvision_state_dict(rng)
+        sd["layer9.0.conv1.weight"] = np.zeros((4, 4, 3, 3), np.float32)
+        with pytest.raises(KeyError, match="unconsumed"):
+            tc.convert_imagenet_backbone(sd, "resnet18")
+
+    def test_missing_tensor_rejected(self, rng):
+        sd = synth_torchvision_state_dict(rng)
+        del sd["layer3.0.downsample.0.weight"]
+        with pytest.raises(KeyError):
+            tc.convert_imagenet_backbone(sd, "resnet18")
+
+    def test_pth_roundtrip_one_command(self, rng, tmp_path):
+        """The documented one-command path: torch.save a torchvision-layout
+        .pth, point the loader at it."""
+        sd = synth_torchvision_state_dict(rng)
+        pth = str(tmp_path / "resnet18-imagenet.pth")
+        torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in
+                    sd.items()}, pth)
+        model = build_model("resnet18_8s", ver_dim=18)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 32, 32, 3)), train=False)
+        new_vars = tc.load_imagenet_backbone(variables, pth, arch="resnet18")
+        stem = np.asarray(
+            new_vars["params"]["ResNetBackbone_0"]["Conv_0"]["kernel"])
+        np.testing.assert_allclose(
+            stem, np.transpose(sd["conv1.weight"], (2, 3, 1, 0)))
+
+    def test_train_loop_wiring(self, rng, tmp_path):
+        """tools/train.py --imagenet_pth reaches the state through
+        TrainLoop.init_state."""
+        from pvnet_tpu.config import TrainConfig
+        from pvnet_tpu.train.loop import TrainLoop
+        sd = synth_torchvision_state_dict(rng)
+        pth = str(tmp_path / "zoo.pth")
+        torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in
+                    sd.items()}, pth)
+        cfg = TrainConfig()
+        loop = TrainLoop(cfg, "cat", use_mesh=False)
+        state = loop.init_state(imagenet_pth=pth)
+        stem = np.asarray(
+            state.params["ResNetBackbone_0"]["Conv_0"]["kernel"])
+        np.testing.assert_allclose(
+            stem, np.transpose(sd["conv1.weight"], (2, 3, 1, 0)),
+            rtol=1e-6)

@@ -117,6 +117,16 @@ class TestTrainer:
         p1 = jax.tree_util.tree_leaves(state2.params)[0]
         assert not np.allclose(np.asarray(p0), np.asarray(p1))
 
+    def test_make_mesh_rejects_multi_host(self, monkeypatch):
+        # shard_batch/replicate device_put host-local data; a silent global
+        # mesh under process_count > 1 would corrupt batches
+        monkeypatch.setattr(jax, "process_count", lambda: 4)
+        with pytest.raises(NotImplementedError, match="single process"):
+            make_mesh()
+        # explicit device list stays allowed (caller owns the sharding)
+        mesh = make_mesh(devices=jax.devices())
+        assert mesh.shape["data"] == 8
+
     def test_sharded_matches_single_device(self, rng):
         """The data-parallel step must compute the same update as an
         unsharded step on the full batch (sync-BN + global loss)."""

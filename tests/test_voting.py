@@ -144,6 +144,31 @@ class TestStratifiedSelection:
             select_method="stratified")
         np.testing.assert_allclose(np.asarray(pts[0]), KPTS, atol=2.0)
 
+    def test_valid_slots_form_contiguous_prefix(self):
+        # pair sampling draws indices in [0, count): valid slots must be a
+        # prefix even when the mask covers only a few phase buckets
+        for box, tn in [((10, 14, 10, 14), 64), ((10, 13, 20, 27), 256),
+                        (BOX, 512)]:
+            mask, vertex = make_field(64, 64, KPTS, box)
+            fg = voting.sample_foreground(
+                jnp.asarray(mask)[None], jnp.asarray(vertex)[None], tn,
+                jax.random.PRNGKey(5), method="stratified")
+            v = np.asarray(fg.valid[0])
+            cnt = int(fg.count[0])
+            assert v[:cnt].all() and not v[cnt:].any(), (box, tn)
+
+    def test_v3_small_object_sub_phase_grid(self):
+        # 4x4 object with tn=64 leaves 48 of 64 phase buckets empty; voting
+        # must still recover keypoints (regression: scattered valid slots
+        # made pair sampling draw degenerate zeros -> ~100 px error)
+        kpts = np.array([[20.0, 8.0], [5.0, 30.0], [40.0, 40.0]], np.float32)
+        mask, vertex = make_field(64, 64, kpts, (10, 14, 10, 14))
+        pts = voting.ransac_voting_v3(
+            jnp.asarray(mask)[None], jnp.asarray(vertex)[None],
+            jax.random.PRNGKey(0), hyp_num=256, max_num=64, impl="xla",
+            select_method="stratified")
+        np.testing.assert_allclose(np.asarray(pts[0]), kpts, atol=0.5)
+
 
 class TestCountParity:
     def _random_inputs(self, rng, b=2, tn=96, vn=3, hn=160):
@@ -245,6 +270,119 @@ class TestVotingV3:
         pts = f(jnp.asarray(mask)[None], jnp.asarray(vertex)[None],
                 jax.random.PRNGKey(0))
         np.testing.assert_allclose(np.asarray(pts[0]), KPTS, atol=1.0)
+
+
+class TestV2Refinement:
+    def test_v2_recovers_keypoints(self):
+        mask, vertex = make_field(128, 128, KPTS, BOX)
+        pts = voting.ransac_voting_v2(
+            jnp.asarray(mask)[None], jnp.asarray(vertex)[None],
+            jax.random.PRNGKey(0), hyp_num=256, max_num=256, impl="xla")
+        np.testing.assert_allclose(np.asarray(pts[0]), KPTS, atol=0.5)
+
+    def test_v2_matches_v3_on_noisy_field(self, rng):
+        # justifies v3 (single WLS refine) as the production default: the
+        # reference's iterative re-vote + refit (refine_iter_num rounds)
+        # lands within sub-pixel agreement of the one-pass refine
+        mask, vertex = make_field(128, 128, KPTS, BOX, noise=0.03, rng=rng,
+                                  outlier_frac=0.2)
+        m, v = jnp.asarray(mask)[None], jnp.asarray(vertex)[None]
+        pts_v3 = voting.ransac_voting_v3(
+            m, v, jax.random.PRNGKey(0), hyp_num=512, max_num=512,
+            inlier_thresh=0.99, impl="xla")
+        pts_v2 = voting.ransac_voting_v2(
+            m, v, jax.random.PRNGKey(0), hyp_num=512, max_num=512,
+            inlier_thresh=0.99, refine_iter_num=3, impl="xla")
+        err_v3 = np.abs(np.asarray(pts_v3[0]) - KPTS).max()
+        err_v2 = np.abs(np.asarray(pts_v2[0]) - KPTS).max()
+        assert err_v3 < 1.5 and err_v2 < 1.5
+        # same winner, same basin: the iterated fit moves the answer < 1 px
+        np.testing.assert_allclose(np.asarray(pts_v2), np.asarray(pts_v3),
+                                   atol=1.0)
+
+    def test_v2_one_iter_equals_v3(self):
+        # refine_iter_num=1 is exactly v3's vote + single WLS fit
+        mask, vertex = make_field(96, 96, KPTS, (30, 60, 20, 70))
+        m, v = jnp.asarray(mask)[None], jnp.asarray(vertex)[None]
+        pts_v2 = voting.ransac_voting_v2(
+            m, v, jax.random.PRNGKey(7), hyp_num=128, max_num=128,
+            inlier_thresh=0.99, refine_iter_num=1, impl="xla")
+        pts_v3 = voting.ransac_voting_v3(
+            m, v, jax.random.PRNGKey(7), hyp_num=128, max_num=128,
+            inlier_thresh=0.99, impl="xla")
+        np.testing.assert_allclose(np.asarray(pts_v2), np.asarray(pts_v3),
+                                   rtol=1e-6, atol=1e-5)
+
+    def test_v2_multiclass_dispatch(self, rng):
+        mask1, vertex1 = make_field(96, 96, KPTS, (30, 60, 20, 70))
+        pts = voting.ransac_voting_multiclass(
+            jnp.asarray(mask1)[None], jnp.asarray(vertex1)[None],
+            jax.random.PRNGKey(1), class_num=2, hyp_num=256, max_num=256,
+            refine_iter_num=2, impl="xla")
+        assert pts.shape == (1, 1, 3, 2)
+        np.testing.assert_allclose(np.asarray(pts[0, 0]), KPTS, atol=0.5)
+
+    def test_v2_empty_mask_zeros(self):
+        mask = np.zeros((48, 48), np.int32)
+        vertex = np.zeros((48, 48, 3, 2), np.float32)
+        pts = voting.ransac_voting_v2(
+            jnp.asarray(mask)[None], jnp.asarray(vertex)[None],
+            jax.random.PRNGKey(0), hyp_num=64, max_num=64, impl="xla")
+        np.testing.assert_allclose(np.asarray(pts), 0.0)
+
+
+class TestDistributionNoMean:
+    def test_mean_matches_keypoints_cov_psd(self, rng):
+        mask, vertex = make_field(128, 128, KPTS, BOX, noise=0.03, rng=rng)
+        mean, cov = voting.estimate_voting_distribution(
+            jnp.asarray(mask)[None], jnp.asarray(vertex)[None],
+            jax.random.PRNGKey(0), min_hyp_num=1024, topk=128,
+            max_num=512, impl="xla")
+        np.testing.assert_allclose(np.asarray(mean[0]), KPTS, atol=1.0)
+        c = np.asarray(cov[0])
+        np.testing.assert_allclose(c, c.transpose(0, 2, 1), atol=1e-5)
+        assert (np.linalg.eigvalsh(c) > -1e-5).all()
+
+    def test_topk_weighting_tightens_cov(self, rng):
+        # keeping only the best 128 of >=1024 hypotheses must not widen the
+        # distribution vs keeping everything
+        mask, vertex = make_field(128, 128, KPTS, BOX, noise=0.05, rng=rng)
+        m, v = jnp.asarray(mask)[None], jnp.asarray(vertex)[None]
+        _, cov_k = voting.estimate_voting_distribution(
+            m, v, jax.random.PRNGKey(0), min_hyp_num=1024, topk=64,
+            max_num=512, impl="xla")
+        _, cov_all = voting.estimate_voting_distribution(
+            m, v, jax.random.PRNGKey(0), min_hyp_num=1024, topk=1024,
+            max_num=512, impl="xla")
+        tr_k = np.trace(np.asarray(cov_k[0]), axis1=1, axis2=2)
+        tr_all = np.trace(np.asarray(cov_all[0]), axis1=1, axis2=2)
+        assert (tr_k <= tr_all + 1e-6).all()
+
+    def test_empty_mask_zeros(self):
+        mask = np.zeros((48, 48), np.int32)
+        vertex = np.zeros((48, 48, 3, 2), np.float32)
+        mean, cov = voting.estimate_voting_distribution(
+            jnp.asarray(mask)[None], jnp.asarray(vertex)[None],
+            jax.random.PRNGKey(0), min_hyp_num=256, max_num=64, impl="xla")
+        np.testing.assert_allclose(np.asarray(mean), 0.0)
+        np.testing.assert_allclose(np.asarray(cov), 0.0)
+
+    def test_agrees_with_given_mean_variant(self, rng):
+        # the no-mean estimator's mean feeds the same covariance machinery
+        # as estimate_voting_distribution_with_mean: covs must agree in scale
+        mask, vertex = make_field(128, 128, KPTS, BOX, noise=0.05, rng=rng)
+        m, v = jnp.asarray(mask)[None], jnp.asarray(vertex)[None]
+        mean, cov_nm = voting.estimate_voting_distribution(
+            m, v, jax.random.PRNGKey(0), min_hyp_num=1024, max_num=512,
+            impl="xla")
+        _, cov_wm = voting.estimate_voting_distribution_with_mean(
+            m, v, mean, jax.random.PRNGKey(1), hyp_num=1024, max_num=512,
+            impl="xla")
+        tr_nm = np.trace(np.asarray(cov_nm[0]), axis1=1, axis2=2)
+        tr_wm = np.trace(np.asarray(cov_wm[0]), axis1=1, axis2=2)
+        ratio = tr_nm / np.maximum(tr_wm, 1e-12)
+        # different weighting rules (top-k vs max-0.1 cut): same order
+        assert (ratio > 0.05).all() and (ratio < 20.0).all()
 
 
 class TestVotingV5:

@@ -41,12 +41,23 @@ def parse_args():
                    help="generate + train on a synthetic LINEMOD-layout "
                         "dataset (no real data needed)")
     p.add_argument("--synthetic_images", type=int, default=64)
+    p.add_argument("--synthetic_occluder_prob", type=float, default=0.0,
+                   help="probability of injecting an occluder object per "
+                        "synthetic image (occlusion-LINEMOD-style data)")
+    p.add_argument("--synthetic_clutter", type=int, default=0,
+                   help="max fuse-style clutter objects per synthetic image")
     p.add_argument("--buckets", default="256x256,320x448,480x640",
                    help="comma-separated HxW size buckets (bounds XLA "
                         "recompilation; empty = full reference 8px grid)")
     p.add_argument("--save_inter_result", action="store_true")
     p.add_argument("--save_inter_dir", default="save_result")
     p.add_argument("--num_threads", type=int, default=4)
+    p.add_argument("--imagenet_pth", default=None,
+                   help="torchvision/model_zoo ImageNet .pth to initialize "
+                        "the backbone from (decoder heads stay random — "
+                        "the reference's standard init, ref "
+                        "resnet.py:223-280). One-command conversion: the "
+                        "loader consumes every tensor or fails.")
     p.add_argument("--device_aug", action="store_true",
                    help="run augmentation on device inside the jitted "
                         "train step (data.augment_device) instead of in "
@@ -85,13 +96,19 @@ def main():
 
     if args.synthetic:
         from pvnet_tpu.data.synthetic import generate_synthetic_linemod
-        synth_root = os.path.join(paths.data_dir, "synthetic")
+        occ = args.synthetic_occluder_prob > 0 or args.synthetic_clutter > 0
+        synth_root = os.path.join(paths.data_dir,
+                                  "synthetic_occ" if occ else "synthetic")
         marker = os.path.join(synth_root, "LINEMOD", cls_name, "train.txt")
         if not os.path.exists(marker):
             print(f"generating synthetic dataset ({args.synthetic_images} "
-                  f"images) ...", flush=True)
-            generate_synthetic_linemod(synth_root, cls_name,
-                                       num_images=args.synthetic_images)
+                  f"images, occluder_prob="
+                  f"{args.synthetic_occluder_prob}, "
+                  f"clutter<={args.synthetic_clutter}) ...", flush=True)
+            generate_synthetic_linemod(
+                synth_root, cls_name, num_images=args.synthetic_images,
+                occluder_prob=args.synthetic_occluder_prob,
+                max_clutter=args.synthetic_clutter)
         paths = PathConfig(data_dir=synth_root)
 
     buckets = None
@@ -175,7 +192,8 @@ def main():
     print(f"train set: {len(train_db)} images, val: {len(val_db)}",
           flush=True)
     loop.fit(train_db, val_db, paths.linemod_dir,
-             num_threads=args.num_threads)
+             num_threads=args.num_threads,
+             imagenet_pth=args.imagenet_pth)
 
 
 if __name__ == "__main__":
