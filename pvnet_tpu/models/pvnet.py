@@ -110,7 +110,8 @@ class PVNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False,
-                 return_tail_features: bool = False):
+                 return_tail_features: bool = False,
+                 return_2s_features: bool = False):
         """x: [b, h, w, 3] normalized image (NHWC).
 
         Returns:
@@ -119,8 +120,10 @@ class PVNet(nn.Module):
         (head_layout='NCHW' returns [b, c, h, w] model-dtype tensors
         instead; return_tail_features=True returns the raw-stage input
         [b, h, w, 64k] — decoder features ++ rgb, zero-padded to a
-        64-multiple — for the fused inference tail, see
-        ops/tail_kernel.py.)
+        64-multiple — for the legacy Pallas tail, see ops/tail_kernel.py;
+        return_2s_features=True returns the 2s-stage activation
+        [b, h/2, w/2, s2dim] *before* the final upsample — the packed
+        inference tail's input, see ops/packed_tail.py.)
         """
         b, h, w, _ = x.shape
         x_in = x.astype(self.dtype)
@@ -157,6 +160,8 @@ class PVNet(nn.Module):
         fm = conv(self.s2dim, (3, 3), padding=[(1, 1)] * 2, use_bias=False)(
             jnp.concatenate([fm, x2s], axis=-1))
         fm = lrelu(norm()(fm))
+        if return_2s_features:
+            return fm
         fm = upsample_bilinear_align_corners(fm, h, w)
 
         # raw head (ref :53-58)

@@ -111,37 +111,23 @@ def poses_from_keypoints(points_3d: jnp.ndarray, kps_2d: jnp.ndarray,
 
 
 def fused_tail_foreground(apply_fn, variables, image: jnp.ndarray,
-                          max_num: int, key: jax.Array):
-    """Foreground sample via the fused inference tail (ops/tail_kernel.py).
+                          max_num: int, key: jax.Array,
+                          dtype=jnp.bfloat16):
+    """Foreground sample via the packed inference tail (ops/packed_tail.py).
 
-    Runs the FCN up to the raw-stage input, then one Pallas kernel for
-    raw conv + BN + lrelu + 1x1 head on an s2d-packed grid, and samples
-    the packed field directly — the full-resolution seg/ver tensors never
-    materialize (the raw-stage conv alone costs ~10 ms of a 37 ms forward
-    at batch 16 in plain XLA because of channel lane-padding)."""
-    from pvnet_tpu.ops import tail_kernel
+    Runs the FCN to the 2s stage, then computes upsample + raw conv +
+    BN/LReLU + head entirely on the half-resolution packed lattice (every
+    op a plain XLA matmul/conv on 128-aligned channels) and samples the
+    packed field directly — the full-resolution seg/ver tensors never
+    materialize. The plain path's raw stage costs ~16 ms of a 37 ms
+    forward at batch 16 purely from channel lane-padding (see
+    ops/packed_tail.py and CLAUDE.md "Performance rules")."""
+    from pvnet_tpu.ops import packed_tail
     from pvnet_tpu.ops import voting
 
-    feats = apply_fn(variables, image, train=False,
-                     return_tail_features=True)             # [b, h, w, 64k]
-    p = variables["params"]
-    bn = variables["batch_stats"]["BatchNorm_4"]
-    tp = tail_kernel.fold_tail_params(
-        p["Conv_4"]["kernel"], p["BatchNorm_4"]["scale"],
-        p["BatchNorm_4"]["bias"], bn["mean"], bn["var"],
-        p["Conv_5"]["kernel"], p["Conv_5"]["bias"],
-        cin_pad=feats.shape[-1])
-
-    if jax.default_backend() == "tpu":
-        packed, fgcnt = tail_kernel.pvnet_tail_packed(
-            feats.astype(jnp.bfloat16), tp, out_dtype=jnp.bfloat16)
-    else:
-        out, fgcnt = tail_kernel.pvnet_tail_reference(
-            feats.astype(jnp.float32), tp)
-        b, h, w, hout = out.shape
-        packed = out.reshape(b, h // 2, 2, w // 2, 2, hout)
-        packed = packed.transpose(0, 1, 3, 2, 4, 5).reshape(
-            b, h // 2, w // 2, 4 * hout)
+    fm = apply_fn(variables, image, train=False, return_2s_features=True)
+    packed, fgcnt = packed_tail.packed_tail_from_variables(
+        variables, fm, image, dtype=dtype)
     return voting.sample_foreground_packed(packed, fgcnt, max_num, key)
 
 
@@ -155,14 +141,11 @@ def make_pose_pipeline(apply_fn, points_3d, K,
     Returns f(variables, image [b,h,w,3], key) -> (pose [b,3,4],
     kps [b,vn,2]); jit it once per image shape.
 
-    fused_tail=True routes the raw-conv + head + foreground selection
-    through the packed Pallas tail (see fused_tail_foreground); requires
-    a resnet*_8s-shaped PVNet and even image dims. The voting/PnP math
-    downstream is identical. Status: experimental — despite avoiding the
-    full-resolution field materialization it currently measures ~20%
-    slower than the plain path at batch 128 (the conv kernel's VMEM
-    im2col copies are the cap); kept as the basis for a future
-    direct-accumulation rewrite.
+    fused_tail=True routes upsample + raw conv + head + foreground
+    selection through the packed lattice tail (ops/packed_tail.py, see
+    fused_tail_foreground); requires a resnet*_8s-shaped PVNet and even
+    image dims. The voting/PnP math downstream is identical (exact-math
+    parity tested; bf16 rounding only).
     """
     points_3d = jnp.asarray(points_3d, jnp.float32)
     K = jnp.asarray(K, jnp.float32)

@@ -184,11 +184,12 @@ class TrainLoop:
               flush=True)
         return state
 
-    def eval_pipeline(self, hw, batch: int, uncertainty: bool):
+    def eval_pipeline(self, hw, batch: int, uncertainty: bool,
+                      vote_params=None):
         """Jitted forward+vote per image shape (cached)."""
-        key = (hw, batch, uncertainty)
+        params = vote_params or pl_mod.VoteParams()
+        key = (hw, batch, uncertainty, params)
         if key not in self._eval_forward_cache:
-            params = pl_mod.VoteParams()
 
             def fwd(variables, image, rngkey):
                 mask, vertex = pl_mod.predict_fields(
@@ -206,7 +207,8 @@ class TrainLoop:
                  evaluate_pose: bool = False, uncertainty: bool = False,
                  use_camera_intrinsic: bool = False,
                  evaluator: Optional[Evaluator] = None,
-                 save_inter_dir: Optional[str] = None):
+                 save_inter_dir: Optional[str] = None,
+                 vote_params=None):
         """(ref val() :177-253) — loss metrics always; pose metrics when
         evaluate_pose."""
         import functools
@@ -227,7 +229,8 @@ class TrainLoop:
 
             if evaluate_pose and evaluator is not None:
                 b, h, w = dev["mask"].shape
-                fwd = self.eval_pipeline((h, w), b, uncertainty)
+                fwd = self.eval_pipeline((h, w), b, uncertainty,
+                                         vote_params)
                 variables = {"params": state.params,
                              "batch_stats": state.batch_stats}
                 key = jax.random.fold_in(key, bidx)

@@ -170,13 +170,16 @@ class TestFusedPipeline:
         assert pose.shape == (2, 3, 4) and kps.shape == (2, 9, 2)
         assert np.isfinite(np.asarray(pose)).all()
 
-        # foreground totals agree with the plain mask path
+        # foreground totals agree with the plain mask path up to bf16
+        # borderline-pixel argmax flips (the packed tail computes the seg
+        # logits in bf16; exact-math parity is tested in test_packed_tail)
         fg = pl_mod.fused_tail_foreground(m.apply, variables, x, 64,
                                           jax.random.PRNGKey(2))
         seg, _ = m.apply(variables, x, train=False)
-        mask = jnp.argmax(seg, -1)
-        np.testing.assert_array_equal(
-            np.asarray(fg.total), np.asarray(mask.sum(axis=(1, 2))))
+        total_ref = np.asarray(jnp.argmax(seg, -1).sum(axis=(1, 2)))
+        diff = np.abs(np.asarray(fg.total) - total_ref)
+        assert (diff <= np.maximum(4, 0.01 * total_ref)).all(), \
+            (np.asarray(fg.total), total_ref)
 
     def test_uncertainty_variant_runs(self, model_and_vars):
         m, variables, x = model_and_vars

@@ -1,0 +1,131 @@
+"""Per-piece timing of the packed inference tail (ops/packed_tail.py).
+
+  python tools/bench_packed_tail.py [--batch 16]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def timeit_chained(step_fn, init_carry, iters=10):
+    import jax
+
+    @jax.jit
+    def run(carry):
+        def body(c, _):
+            return step_fn(c), None
+        out, _ = jax.lax.scan(body, carry, None, length=iters)
+        return out
+
+    out = run(init_carry)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = run(init_carry)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    from pvnet_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+    from pvnet_tpu.models.pvnet import build_model
+    from pvnet_tpu.ops import packed_tail as pt
+    from pvnet_tpu.ops import voting
+
+    b = args.batch
+    rng = np.random.RandomState(0)
+    model = build_model("resnet18_8s", ver_dim=18, dtype=jnp.bfloat16)
+    image = jnp.asarray(rng.randn(b, 480, 640, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), image[:1], train=False)
+
+    def fm_step(img):
+        fm = model.apply(variables, img, train=False,
+                         return_2s_features=True)
+        return img + fm.astype(jnp.float32).mean() * 1e-12
+
+    t = timeit_chained(fm_step, image, args.iters)
+    print(f"fcn_to_2s:            {t*1e3:8.2f} ms")
+
+    fm = jax.jit(lambda v, x: model.apply(
+        v, x, train=False, return_2s_features=True))(variables, image)
+    p = variables["params"]
+    bn = variables["batch_stats"]["BatchNorm_4"]
+    tp = jax.jit(lambda v: pt.fold_packed_tail(
+        v["params"]["Conv_4"]["kernel"], v["params"]["BatchNorm_4"]["scale"],
+        v["params"]["BatchNorm_4"]["bias"], bn["mean"], bn["var"],
+        v["params"]["Conv_5"]["kernel"], v["params"]["Conv_5"].get("bias"),
+        480, 640, 240, 320))(variables)
+
+    def up_step(f):
+        u = pt.phase_upsample_packed(f, tp.ah, tp.aw)
+        return f + u.astype(f.dtype).mean() * 1e-12
+
+    t_up = timeit_chained(up_step, fm, args.iters)
+    print(f"phase_upsample:       {t_up*1e3:8.2f} ms")
+
+    up = jax.jit(lambda f: pt.phase_upsample_packed(f, tp.ah, tp.aw))(fm)
+
+    def img_step(x):
+        xp = pt.pack_image(x)
+        return x + xp.astype(x.dtype).mean() * 1e-12
+
+    t_img = timeit_chained(img_step, image, args.iters)
+    print(f"pack_image:           {t_img*1e3:8.2f} ms")
+
+    xp = jax.jit(pt.pack_image)(image)
+
+    def conv_step(u):
+        y = jax.lax.conv_general_dilated(
+            u, tp.w_fm.astype(u.dtype), (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        y = y + jax.lax.conv_general_dilated(
+            xp, tp.w_im.astype(xp.dtype), (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        y = y * tp.scale4 + tp.bias4
+        y = jnp.where(y > 0, y, 0.1 * y)
+        pk = (y.astype(jnp.bfloat16) @ tp.w_head4.astype(jnp.bfloat16))
+        return u + pk.astype(u.dtype).mean() * 1e-12
+
+    t_conv = timeit_chained(conv_step, up, args.iters)
+    print(f"packed_convs+head:    {t_conv*1e3:8.2f} ms")
+
+    def full_step(x):
+        f = model.apply(variables, x, train=False, return_2s_features=True)
+        packed, fgcnt = pt.packed_tail_from_variables(variables, f, x)
+        return x + packed.astype(jnp.float32).mean() * 1e-12
+
+    t_full = timeit_chained(full_step, image, args.iters)
+    print(f"full_packed_forward:  {t_full*1e3:8.2f} ms")
+
+    packed, fgcnt = jax.jit(lambda v, f, x: pt.packed_tail_from_variables(
+        v, f, x))(variables, fm, image)
+
+    def sel_step(carry):
+        pk, k = carry
+        fg = voting.sample_foreground_packed(pk, fgcnt, 512, k)
+        return (pk + (fg.coords.mean() * 1e-12).astype(pk.dtype),
+                jax.random.fold_in(k, 0))
+
+    t_sel = timeit_chained(sel_step, (packed, jax.random.PRNGKey(0)),
+                           args.iters)
+    print(f"packed_selection:     {t_sel*1e3:8.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

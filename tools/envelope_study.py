@@ -1,0 +1,79 @@
+"""Voting-envelope sensitivity study on a trained checkpoint.
+
+Round-1 review flagged that the default VoteParams (512 hypotheses /
+512-pixel budget) was justified only on a 200-image synthetic study with a
+small object; this re-runs the sweep on real predicted masks from a trained
+checkpoint over the full test split and prints proj/ADD/5cm5deg per
+envelope so pipeline.VoteParams' doc can cite it.
+
+  python tools/envelope_study.py --cfg_file configs/synthetic_train.json \
+      --data_dir data/synthetic_occ --cls duck \
+      --envelopes 128,256,512,1024,2048
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cfg_file", default="configs/synthetic_train.json")
+    ap.add_argument("--data_dir", default="data/synthetic_occ")
+    ap.add_argument("--cls", default="duck")
+    ap.add_argument("--envelopes", default="128,256,512,1024",
+                    help="comma list of hyp_num=max_num settings")
+    ap.add_argument("--num_threads", type=int, default=4)
+    args = ap.parse_args()
+
+    from pvnet_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    from pvnet_tpu import pipeline as pl_mod
+    from pvnet_tpu.config import PathConfig, TrainConfig
+    from pvnet_tpu.data.linemod import LineModImageDB
+    from pvnet_tpu.eval.evaluator import Evaluator
+    from pvnet_tpu.train.loop import TrainLoop
+
+    cfg = TrainConfig.from_json(args.cfg_file)
+    paths = PathConfig(data_dir=args.data_dir)
+    loop = TrainLoop(cfg, args.cls, paths=paths)
+    state = loop.init_state()
+    state, epoch = loop.resume(state)
+    if epoch == 0:
+        print("no checkpoint — train first", file=sys.stderr)
+        return 1
+    print(f"checkpoint epoch {epoch - 1}")
+
+    db = LineModImageDB(args.cls, has_render_set=False, has_fuse_set=False,
+                        paths=paths)
+    test_db = db.test_real_set
+    _, loader = loop.make_loaders(test_db, test_db, paths.linemod_dir,
+                                  args.num_threads)
+
+    rows = []
+    for n in [int(x) for x in args.envelopes.split(",")]:
+        vp = pl_mod.VoteParams(hyp_num=n, max_num=n)
+        evaluator = Evaluator(loop.object_meta())
+        res = loop.validate(state, loader, epoch, prefix=f"env{n}",
+                            evaluate_pose=True, evaluator=evaluator,
+                            vote_params=vp)
+        rows.append({
+            "hyp_num": n, "max_num": n,
+            "proj": round(res[f"env{n}/scalar/projection_error"], 4),
+            "add": round(res[f"env{n}/scalar/add"], 4),
+            "cm5deg5": round(res[f"env{n}/scalar/cm"], 4),
+        })
+        print(json.dumps(rows[-1]), flush=True)
+
+    print("\nenvelope sweep:")
+    for r in rows:
+        print(json.dumps(r))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -75,7 +75,9 @@ def main():
 
     def fcn_step(img):
         mask, vertex = fwd(variables, img)
-        return img + vertex[..., 0, :2].sum(-1, keepdims=True) * 1e-12
+        # layout-agnostic scalar carry dependence (vertex may be NHWC
+        # [b,h,w,vn,2] or the channel-major [b,vn*2,h,w] emission)
+        return img + vertex.astype(jnp.float32).mean() * 1e-12
 
     t_fwd = timeit_chained(fcn_step, image, args.iters)
     mask, vertex = jax.jit(fwd)(variables, image)
@@ -86,7 +88,7 @@ def main():
         v, k = carry
         kps = ransac_voting_v3(mask, v, k, hyp_num=args.hyp_num,
                                max_num=args.max_num)
-        v2 = v + kps.mean() * 1e-12
+        v2 = v + (kps.mean() * 1e-12).astype(v.dtype)
         return (v2, jax.random.fold_in(k, 0))
 
     t_vote = timeit_chained(vote_step, (vertex, key), args.iters)
