@@ -207,6 +207,10 @@ class TrainConfig:
     checkpoint_keep: int = 10
     device_aug: bool = False    # run augmentation inside the jitted step
                                 # (data.augment_device) instead of on host
+    cache_images: bool = False  # keep decoded rgb/mask in host RAM
+                                # (~0.9 MB/img at 480x640; single-core
+                                # JPEG decode otherwise dominates the host
+                                # pipeline)
 
     @classmethod
     def from_json(cls, path: str) -> "TrainConfig":

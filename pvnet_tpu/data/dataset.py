@@ -124,7 +124,8 @@ class PoseDataset:
                  aug_cfg: Optional[AugConfig] = None,
                  use_intrinsic: bool = False, use_motion: bool = False,
                  host_vertex: bool = False, seed: int = 0,
-                 fast_aug: bool = True, raw: bool = False):
+                 fast_aug: bool = True, raw: bool = False,
+                 cache_images: bool = False):
         self.imagedb = list(imagedb)
         self.data_prefix = data_prefix
         self.vote_type = vote_type
@@ -137,6 +138,12 @@ class PoseDataset:
         # raw mode: no host augmentation/normalization — full-frame 0..255
         # pixels for the on-device pipeline (data.augment_device)
         self.raw = raw
+        # in-memory decoded rgb/mask cache: JPEG decode is a large share of
+        # the single-core host pipeline (the reference amortizes it over 12
+        # worker processes, ref train_linemod.py:325 — this host has one
+        # core). ~0.9 MB/image at 480x640; enable for datasets that fit.
+        self.cache_images = cache_images
+        self._cache: dict = {}
         self.rng = np.random.RandomState(seed)
 
     def __len__(self) -> int:
@@ -148,8 +155,15 @@ class PoseDataset:
         import os
         index, height, width = index_hw
         rec = self.imagedb[index]
-        rgb = read_rgb_np(os.path.join(self.data_prefix, rec["rgb_pth"]))
-        mask = read_mask_np(os.path.join(self.data_prefix, rec["dpt_pth"]))
+        if self.cache_images and index in self._cache:
+            rgb, mask = self._cache[index]
+            rgb = rgb.copy()
+        else:
+            rgb = read_rgb_np(os.path.join(self.data_prefix, rec["rgb_pth"]))
+            mask = read_mask_np(os.path.join(self.data_prefix,
+                                             rec["dpt_pth"]))
+            if self.cache_images:
+                self._cache[index] = (rgb.copy(), mask)
         pose = rec["RT"].copy()
 
         if rec["rnd_typ"] == "real" and mask.ndim == 3:

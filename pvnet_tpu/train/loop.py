@@ -293,7 +293,8 @@ class TrainLoop:
                                 aug_cfg=aug,
                                 use_motion=self.cfg.motion_model,
                                 seed=self.cfg.seed,
-                                raw=self.cfg.device_aug)
+                                raw=self.cfg.device_aug,
+                                cache_images=self.cfg.cache_images)
         train_sampler = ImageSizeBatchSampler(
             range(len(train_set)), self.cfg.train_batch_size,
             drop_last=True, aug_cfg=aug, buckets=self.buckets,

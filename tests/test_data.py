@@ -219,6 +219,22 @@ class TestDatasetPipeline:
         assert batch["image"].shape == (2, 64, 96, 3)
         assert batch["vertex_weights"].shape == (2, 64, 96, 1)
 
+    def test_cache_images_identical_samples(self, synth):
+        db = LineModImageDB("duck", has_render_set=False,
+                            has_fuse_set=False, paths=synth)
+        plain = PoseDataset(db.test_real_set, synth.linemod_dir,
+                            VotingType.Farthest, augment=False)
+        cached = PoseDataset(db.test_real_set, synth.linemod_dir,
+                             VotingType.Farthest, augment=False,
+                             cache_images=True)
+        a = plain[(0, 0, 0)]
+        b1 = cached[(0, 0, 0)]      # miss: fills the cache
+        b2 = cached[(0, 0, 0)]      # hit
+        np.testing.assert_array_equal(a.rgb, b1.rgb)
+        np.testing.assert_array_equal(b1.rgb, b2.rgb)
+        np.testing.assert_array_equal(b1.mask, b2.mask)
+        assert 0 in cached._cache
+
     def test_eval_mode_no_resize(self, synth):
         db = LineModImageDB("duck", has_render_set=False,
                             has_fuse_set=False, paths=synth)

@@ -36,7 +36,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--pieces", default="fm,up,img,conv,full,sel",
+                    help="comma subset of fm,up,img,conv,full,sel — run "
+                         "one piece per invocation to amortize tunnel "
+                         "compiles via the compilation cache")
     args = ap.parse_args()
+    pieces = set(args.pieces.split(","))
 
     from pvnet_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -52,17 +57,19 @@ def main():
     image = jnp.asarray(rng.randn(b, 480, 640, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), image[:1], train=False)
 
-    def fm_step(img):
-        fm = model.apply(variables, img, train=False,
-                         return_2s_features=True)
-        return img + fm.astype(jnp.float32).mean() * 1e-12
+    if "fm" in pieces:
+        def fm_step(img):
+            fm = model.apply(variables, img, train=False,
+                             return_2s_features=True)
+            return img + fm.astype(jnp.float32).mean() * 1e-12
 
-    t = timeit_chained(fm_step, image, args.iters)
-    print(f"fcn_to_2s:            {t*1e3:8.2f} ms")
+        t = timeit_chained(fm_step, image, args.iters)
+        print(f"fcn_to_2s:            {t*1e3:8.2f} ms", flush=True)
 
+    need_fm = pieces & {"up", "conv", "sel"}
     fm = jax.jit(lambda v, x: model.apply(
-        v, x, train=False, return_2s_features=True))(variables, image)
-    p = variables["params"]
+        v, x, train=False, return_2s_features=True))(variables, image) \
+        if need_fm else None
     bn = variables["batch_stats"]["BatchNorm_4"]
     tp = jax.jit(lambda v: pt.fold_packed_tail(
         v["params"]["Conv_4"]["kernel"], v["params"]["BatchNorm_4"]["scale"],
@@ -70,23 +77,26 @@ def main():
         v["params"]["Conv_5"]["kernel"], v["params"]["Conv_5"].get("bias"),
         480, 640, 240, 320))(variables)
 
-    def up_step(f):
-        u = pt.phase_upsample_packed(f, tp.ah, tp.aw)
-        return f + u.astype(f.dtype).mean() * 1e-12
+    if "up" in pieces:
+        def up_step(f):
+            u = pt.phase_upsample_packed(f, tp.ah, tp.aw)
+            return f + u.astype(f.dtype).mean() * 1e-12
 
-    t_up = timeit_chained(up_step, fm, args.iters)
-    print(f"phase_upsample:       {t_up*1e3:8.2f} ms")
+        t_up = timeit_chained(up_step, fm, args.iters)
+        print(f"phase_upsample:       {t_up*1e3:8.2f} ms", flush=True)
 
-    up = jax.jit(lambda f: pt.phase_upsample_packed(f, tp.ah, tp.aw))(fm)
+    up = jax.jit(lambda f: pt.phase_upsample_packed(f, tp.ah, tp.aw))(fm) \
+        if "conv" in pieces else None
 
-    def img_step(x):
-        xp = pt.pack_image(x)
-        return x + xp.astype(x.dtype).mean() * 1e-12
+    if "img" in pieces:
+        def img_step(x):
+            xp = pt.pack_image(x)
+            return x + xp.astype(x.dtype).mean() * 1e-12
 
-    t_img = timeit_chained(img_step, image, args.iters)
-    print(f"pack_image:           {t_img*1e3:8.2f} ms")
+        t_img = timeit_chained(img_step, image, args.iters)
+        print(f"pack_image:           {t_img*1e3:8.2f} ms", flush=True)
 
-    xp = jax.jit(pt.pack_image)(image)
+    xp = jax.jit(pt.pack_image)(image) if "conv" in pieces else None
 
     def conv_step(u):
         y = jax.lax.conv_general_dilated(
@@ -102,29 +112,34 @@ def main():
         pk = (y.astype(jnp.bfloat16) @ tp.w_head4.astype(jnp.bfloat16))
         return u + pk.astype(u.dtype).mean() * 1e-12
 
-    t_conv = timeit_chained(conv_step, up, args.iters)
-    print(f"packed_convs+head:    {t_conv*1e3:8.2f} ms")
+    if "conv" in pieces:
+        t_conv = timeit_chained(conv_step, up, args.iters)
+        print(f"packed_convs+head:    {t_conv*1e3:8.2f} ms", flush=True)
 
     def full_step(x):
         f = model.apply(variables, x, train=False, return_2s_features=True)
         packed, fgcnt = pt.packed_tail_from_variables(variables, f, x)
         return x + packed.astype(jnp.float32).mean() * 1e-12
 
-    t_full = timeit_chained(full_step, image, args.iters)
-    print(f"full_packed_forward:  {t_full*1e3:8.2f} ms")
+    if "full" in pieces:
+        t_full = timeit_chained(full_step, image, args.iters)
+        print(f"full_packed_forward:  {t_full*1e3:8.2f} ms", flush=True)
 
-    packed, fgcnt = jax.jit(lambda v, f, x: pt.packed_tail_from_variables(
-        v, f, x))(variables, fm, image)
+    if "sel" in pieces:
+        packed, fgcnt = jax.jit(
+            lambda v, f, x: pt.packed_tail_from_variables(v, f, x))(
+            variables, fm, image)
 
-    def sel_step(carry):
-        pk, k = carry
-        fg = voting.sample_foreground_packed(pk, fgcnt, 512, k)
-        return (pk + (fg.coords.mean() * 1e-12).astype(pk.dtype),
-                jax.random.fold_in(k, 0))
+    if "sel" in pieces:
+        def sel_step(carry):
+            pk, k = carry
+            fg = voting.sample_foreground_packed(pk, fgcnt, 512, k)
+            return (pk + (fg.coords.mean() * 1e-12).astype(pk.dtype),
+                    jax.random.fold_in(k, 0))
 
-    t_sel = timeit_chained(sel_step, (packed, jax.random.PRNGKey(0)),
-                           args.iters)
-    print(f"packed_selection:     {t_sel*1e3:8.2f} ms")
+        t_sel = timeit_chained(sel_step, (packed, jax.random.PRNGKey(0)),
+                               args.iters)
+        print(f"packed_selection:     {t_sel*1e3:8.2f} ms", flush=True)
 
 
 if __name__ == "__main__":

@@ -31,7 +31,7 @@ import numpy as np
 
 
 def build_exported(model, variables, points_3d, K, batch, height, width,
-                   uncertainty=False, vote_params=None):
+                   uncertainty=False, vote_params=None, fused_tail=False):
     """Export f(images [b,h,w,3] f32, seed i32) -> (pose, kps)."""
     import jax
     import jax.numpy as jnp
@@ -40,7 +40,8 @@ def build_exported(model, variables, points_3d, K, batch, height, width,
 
     run = make_pose_pipeline(model.apply, points_3d, K,
                              params=vote_params or VoteParams(),
-                             uncertainty=uncertainty)
+                             uncertainty=uncertainty,
+                             fused_tail=fused_tail)
 
     def serve(images, seed):
         key = jax.random.PRNGKey(seed)
@@ -65,6 +66,9 @@ def main():
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--uncertainty", action="store_true")
+    ap.add_argument("--fused_tail", action="store_true",
+                    help="export the packed-lattice tail path "
+                         "(ops/packed_tail.py)")
     ap.add_argument("--no-bf16", dest="bf16", action="store_false",
                     default=True)
     args = ap.parse_args()
@@ -117,7 +121,8 @@ def main():
 
     exp = build_exported(model, variables, points_3d, LINEMOD_K,
                          args.batch, args.height, args.width,
-                         uncertainty=args.uncertainty)
+                         uncertainty=args.uncertainty,
+                         fused_tail=args.fused_tail)
     os.makedirs(args.out_dir, exist_ok=True)
     blob = exp.serialize()
     with open(os.path.join(args.out_dir, "pipeline.jaxexport"), "wb") as f:
@@ -125,6 +130,7 @@ def main():
     manifest = {
         "batch": args.batch, "height": args.height, "width": args.width,
         "network": args.network, "vn": vn, "uncertainty": args.uncertainty,
+        "fused_tail": args.fused_tail,
         "platforms": list(exp.platforms), "weights": src,
         "points_3d": points_3d.tolist(),
         "call": "fn.call(images [b,h,w,3] f32, seed i32) -> "
