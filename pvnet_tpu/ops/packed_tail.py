@@ -160,16 +160,19 @@ def fold_packed_tail(w_raw, bn_scale, bn_bias, bn_mean, bn_var,
 def phase_upsample_packed(fm: jnp.ndarray, ah: jnp.ndarray, aw: jnp.ndarray,
                           dtype=jnp.bfloat16) -> jnp.ndarray:
     """[b, h2, w2, c] -> shifted-lattice packed upsample
-    [b, h2+1, w2+1, 4c] (phase order (a*2+b)c)."""
+    [b, h2+1, w2+1, 4c] (phase order (a*2+b)c).
+
+    Two einsums total: the row/column phase axes ride in the channel
+    position of the intermediates ((a, c) then (a, B, c) minor), so the
+    minor dims grow 32 -> 64 -> 128 instead of six separate c=32 kernels
+    plus a concat of lane-padded operands."""
+    b, h2, w2, c = fm.shape
     fm = fm.astype(dtype)
     ah = ah.astype(dtype)
     aw = aw.astype(dtype)
-    phases = []
-    for a in range(2):
-        hi = jnp.einsum("oh,bhwc->bowc", ah[a], fm)
-        for b_ in range(2):
-            phases.append(jnp.einsum("pw,bowc->bopc", aw[b_], hi))
-    return jnp.concatenate(phases, axis=-1)
+    hi = jnp.einsum("aoh,bhwc->bowac", ah, fm)          # [b, h2+1, w2, 2, c]
+    up = jnp.einsum("Bpw,bowac->bopaBc", aw, hi)        # [b,h2+1,w2+1,2,2,c]
+    return up.reshape(b, ah.shape[1], aw.shape[1], 4 * c)
 
 
 def pack_image(image: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
@@ -197,17 +200,20 @@ def run_packed_tail(fm: jnp.ndarray, image: jnp.ndarray,
     up = phase_upsample_packed(fm, tp.ah, tp.aw, dtype)     # [b,h2+1,w2+1,4c]
     xp = pack_image(image, dtype)                           # [b,h2+1,w2+1,12]
 
+    # accumulate in f32 (MXU default for bf16 inputs) but emit the compute
+    # dtype: the f32 [b, h2, w2, 4c] round trip costs a full extra pass
+    acc_t = jnp.float32 if dtype == jnp.float32 else dtype
     y = jax.lax.conv_general_dilated(
         up, tp.w_fm.astype(dtype), (1, 1), [(0, 0), (0, 0)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=acc_t)
     y = y + jax.lax.conv_general_dilated(
         xp, tp.w_im.astype(dtype), (1, 1), [(0, 0), (0, 0)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)                 # [b,h2,w2,4c]
+        preferred_element_type=acc_t)                       # [b,h2,w2,4c]
 
-    y = y * tp.scale4 + tp.bias4
-    y = jnp.where(y > 0, y, alpha * y)
+    y = y * tp.scale4.astype(acc_t) + tp.bias4.astype(acc_t)
+    y = jnp.where(y > 0, y, jnp.asarray(alpha, acc_t) * y)
     packed = (y.astype(dtype) @ tp.w_head4.astype(dtype)
               ).astype(jnp.float32) + tp.b_head4            # [b,h2,w2,4h]
 
@@ -218,7 +224,7 @@ def run_packed_tail(fm: jnp.ndarray, image: jnp.ndarray,
 
 
 def packed_tail_from_variables(variables, fm, image, alpha: float = 0.1,
-                               dtype=jnp.bfloat16):
+                               dtype=jnp.bfloat16, out_dtype=None):
     """Convenience: fold PVNet raw-stage variables (Conv_4/BatchNorm_4/
     Conv_5, models/pvnet.py naming) and run the packed tail."""
     p = variables["params"]
@@ -229,4 +235,7 @@ def packed_tail_from_variables(variables, fm, image, alpha: float = 0.1,
         p["BatchNorm_4"]["bias"], bn["mean"], bn["var"],
         p["Conv_5"]["kernel"], p["Conv_5"].get("bias"),
         h, w, fm.shape[1], fm.shape[2])
-    return run_packed_tail(fm, image, tp, alpha=alpha, dtype=dtype)
+    if out_dtype is None:
+        out_dtype = jnp.float32 if dtype == jnp.float32 else dtype
+    return run_packed_tail(fm, image, tp, alpha=alpha, dtype=dtype,
+                           out_dtype=out_dtype)
