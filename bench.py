@@ -116,6 +116,10 @@ def main():
                          "(experimental; loses to the XLA path)")
     ap.add_argument("--no-fused_tail", dest="fused_tail",
                     action="store_false")
+    ap.add_argument("--tail_depth", type=int, default=1, choices=(1, 2, 3),
+                    help="with --fused_tail: 2 also packs the 2s decoder "
+                         "stage, 3 the 4s stage too "
+                         "(ops/packed_tail.run_packed_stage)")
     ap.add_argument("--bf16", action="store_true", default=True)
     ap.add_argument("--no-bf16", dest="bf16", action="store_false")
     args = ap.parse_args()
@@ -143,7 +147,7 @@ def main():
     params = VoteParams()   # production envelope (see VoteParams doc)
     pipeline = make_pose_pipeline(
         model.apply, points_3d, LINEMOD_K, params=params,
-        fused_tail=args.fused_tail)
+        fused_tail=args.fused_tail, tail_depth=args.tail_depth)
     run = jax.jit(pipeline)
 
     key = jax.random.PRNGKey(1)

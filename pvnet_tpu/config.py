@@ -194,6 +194,10 @@ class TrainConfig:
     eval_epoch: bool = False
     eval_inter: int = 5
     eval_epoch_begin: int = 80
+    val_inter: int = 1          # run the val-loss pass every N epochs
+                                # (1 = reference behavior, ref
+                                # train_linemod.py:328-333; raise when the
+                                # val pass dominates wall time)
 
     vote_type: str = "Farthest"
     vertex_loss_ratio: float = 1.0

@@ -111,7 +111,9 @@ class PVNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False,
                  return_tail_features: bool = False,
-                 return_2s_features: bool = False):
+                 return_2s_features: bool = False,
+                 return_4s_features: bool = False,
+                 return_8s_features: bool = False):
         """x: [b, h, w, 3] normalized image (NHWC).
 
         Returns:
@@ -123,7 +125,14 @@ class PVNet(nn.Module):
         64-multiple — for the legacy Pallas tail, see ops/tail_kernel.py;
         return_2s_features=True returns the 2s-stage activation
         [b, h/2, w/2, s2dim] *before* the final upsample — the packed
-        inference tail's input, see ops/packed_tail.py.)
+        inference tail's input, see ops/packed_tail.py;
+        return_4s_features=True returns (fm4 [b, h/4, w/4, s4dim], x2s)
+        — the 4s-stage activation before its upsample plus the backbone 2s
+        skip, the deep packed tail's inputs, see
+        packed_tail.packed_tail_deep_from_variables;
+        return_8s_features=True returns (fm8 [b, h/8, w/8, s8dim], x4s,
+        x2s) for the depth-3 packed path,
+        packed_tail.packed_tail_deep3_from_variables.)
         """
         b, h, w, _ = x.shape
         x_in = x.astype(self.dtype)
@@ -148,12 +157,16 @@ class PVNet(nn.Module):
         fm = conv(self.s8dim, (3, 3), padding=[(1, 1)] * 2, use_bias=False)(
             jnp.concatenate([xfc, x8s], axis=-1))
         fm = lrelu(norm()(fm))
+        if return_8s_features:
+            return fm, x4s, x2s
         fm = upsample_bilinear_align_corners(fm, x4s.shape[1], x4s.shape[2])
 
         # 4s -> 2s (ref :38-43)
         fm = conv(self.s4dim, (3, 3), padding=[(1, 1)] * 2, use_bias=False)(
             jnp.concatenate([fm, x4s], axis=-1))
         fm = lrelu(norm()(fm))
+        if return_4s_features:
+            return fm, x2s
         fm = upsample_bilinear_align_corners(fm, x2s.shape[1], x2s.shape[2])
 
         # 2s -> raw (ref :46-51)

@@ -104,14 +104,20 @@ def _pack_conv_weights(w) -> jnp.ndarray:
     return wp.reshape(2, 2, 4 * cin, 4 * cout)
 
 
-def _pack_image_kernel() -> np.ndarray:
-    """[2, 2, 3, 12] identity strided-conv kernel: s2d of a padded image."""
-    k = np.zeros((2, 2, 3, 12), np.float32)
+def _pack_identity_kernel(c: int) -> np.ndarray:
+    """[2, 2, c, 4c] identity strided-conv kernel: s2d of a padded tensor,
+    output channel order phase-major (a*2+b)*c + ch."""
+    k = np.zeros((2, 2, c, 4 * c), np.float32)
     for a in range(2):
         for b in range(2):
-            for c in range(3):
-                k[a, b, c, (a * 2 + b) * 3 + c] = 1.0
+            for ch in range(c):
+                k[a, b, ch, (a * 2 + b) * c + ch] = 1.0
     return k
+
+
+def _pack_image_kernel() -> np.ndarray:
+    """[2, 2, 3, 12] identity strided-conv kernel: s2d of a padded image."""
+    return _pack_identity_kernel(3)
 
 
 def fold_packed_tail(w_raw, bn_scale, bn_bias, bn_mean, bn_var,
@@ -177,27 +183,150 @@ def phase_upsample_packed(fm: jnp.ndarray, ah: jnp.ndarray, aw: jnp.ndarray,
 
 def pack_image(image: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
     """[b, h, w, 3] -> [b, h/2+1, w/2+1, 12] on the shifted lattice."""
-    xp = jnp.pad(image.astype(dtype), ((0, 0), (1, 1), (1, 1), (0, 0)))
-    k = jnp.asarray(_pack_image_kernel(), dtype)
+    return pack_feature(image, dtype)
+
+
+def pack_feature(x: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """[b, h, w, c] -> [b, h/2+1, w/2+1, 4c] on the shifted lattice:
+    cell (K, L) phase (a, b) = full-res pixel (2K-1+a, 2L-1+b), zeros out
+    of range (matching the SAME-padding of the conv this feeds)."""
+    c = x.shape[-1]
+    xp = jnp.pad(x.astype(dtype), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    k = jnp.asarray(_pack_identity_kernel(c), dtype)
     return jax.lax.conv_general_dilated(
         xp, k, (2, 2), [(0, 0), (0, 0)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
+def phase_upsample_from_packed(fmp: jnp.ndarray, ah: jnp.ndarray,
+                               aw: jnp.ndarray, dtype=jnp.bfloat16
+                               ) -> jnp.ndarray:
+    """Packed-input variant of phase_upsample_packed.
+
+    fmp: [b, h4, w4, 4c] — the PACKED form of an [b, 2*h4, 2*w4, c] tensor
+    (plain-grid phases, channel order (py*2+px)*c + ch, e.g. the output of
+    run_packed_conv2s). ah/aw are the same [2, n, 2*h4]-shaped shifted
+    phase matrices fold_packed_tail builds; their source axis is split
+    (Y, py) to contract directly against the packed layout, so the
+    full-resolution rows still never materialize."""
+    b, h4, w4, c4 = fmp.shape
+    c = c4 // 4
+    fmr = fmp.astype(dtype).reshape(b, h4, w4, 2, 2, c)
+    ah_r = ah.astype(dtype).reshape(2, ah.shape[1], h4, 2)
+    aw_r = aw.astype(dtype).reshape(2, aw.shape[1], w4, 2)
+    hi = jnp.einsum("aoYy,bYXyxc->boXxac", ah_r, fmr)
+    up = jnp.einsum("BpXx,boXxac->bopaBc", aw_r, hi)
+    return up.reshape(b, ah.shape[1], aw.shape[1], 4 * c)
+
+
+class PackedStageParams(NamedTuple):
+    """Folded inference parameters of one packed decoder stage
+    (upsample + 3x3 SAME conv over concat([fm, skip]) + BN + LeakyReLU)."""
+    ah: jnp.ndarray       # [2, h/2+1, h/2] shifted-phase h-interp matrices
+    aw: jnp.ndarray       # [2, w/2+1, w/2] shifted-phase w-interp
+    w_fm: jnp.ndarray     # [2, 2, 4*c_fm, 4*cout] packed conv (decoder fm)
+    w_skip: jnp.ndarray   # [2, 2, 4*c_skip, 4*cout] packed conv (skip)
+    scale4: jnp.ndarray   # [4*cout] phase-tiled BN scale
+    bias4: jnp.ndarray    # [4*cout] phase-tiled BN bias
+
+
+def fold_packed_stage(w, bn_scale, bn_bias, bn_mean, bn_var,
+                      c_fm: int, h: int, w_: int,
+                      eps: float = 1e-5) -> PackedStageParams:
+    """Fold one decoder stage (ref model_repository.py:38-51: a 3x3 SAME
+    conv over concat([2x-upsampled decoder features, backbone skip]) + BN
+    + LeakyReLU) into packed-lattice parameters. Works for both the 4s
+    stage (Conv_2, skip = x4s) and the 2s stage (Conv_3, skip = x2s).
+
+    w: [3, 3, c_fm + c_skip, cout] with the model's concat order
+    (decoder features first, then the skip — models/pvnet.py:154-161).
+    (h, w_): THIS stage's output resolution (= 2x the incoming fm's).
+    """
+    w = jnp.asarray(w, jnp.float32)
+    w_fm = _pack_conv_weights(w[:, :, :c_fm, :])
+    w_skip = _pack_conv_weights(w[:, :, c_fm:, :])
+
+    inv = jax.lax.rsqrt(jnp.asarray(bn_var, jnp.float32) + eps)
+    scale = jnp.asarray(bn_scale, jnp.float32) * inv
+    bias = (jnp.asarray(bn_bias, jnp.float32)
+            - jnp.asarray(bn_mean, jnp.float32) * scale)
+
+    return PackedStageParams(
+        ah=jnp.asarray(_shifted_phase_matrices(h, h // 2)),
+        aw=jnp.asarray(_shifted_phase_matrices(w_, w_ // 2)),
+        w_fm=w_fm,
+        w_skip=w_skip,
+        scale4=jnp.tile(scale, 4),
+        bias4=jnp.tile(bias, 4),
+    )
+
+
+# backwards-compatible aliases (the first packed stage built was conv2s)
+PackedConv2sParams = PackedStageParams
+fold_packed_conv2s = fold_packed_stage
+
+
+def run_packed_stage(fm: jnp.ndarray, skip: jnp.ndarray,
+                     cp: PackedStageParams, alpha: float = 0.1,
+                     dtype=jnp.bfloat16,
+                     fm_packed: bool = False) -> jnp.ndarray:
+    """One packed decoder stage.
+
+    Args:
+      fm:   [b, hc, wc, c_fm] incoming decoder activation (pre-upsample),
+            or — with fm_packed=True — its packed form
+            [b, hc/2, wc/2, 4*c_fm] as a previous run_packed_stage emits.
+      skip: [b, 2*hc, 2*wc, c_skip] backbone skip features at this
+            stage's resolution.
+    Returns the packed stage activation [b, hc, wc, 4*cout] (plain-grid
+    phases, channel order (p*2+q)*cout + ch) — what
+    phase_upsample_from_packed and fm_packed=True consume, so the
+    full-resolution activation never materializes. Same floating-point
+    operators as the plain path: the upsample-then-SAME-conv is
+    algebraically a VALID 2x2 conv between the shifted input lattice and
+    the output lattice."""
+    if fm_packed:
+        up = phase_upsample_from_packed(fm, cp.ah, cp.aw, dtype)
+    else:
+        up = phase_upsample_packed(fm, cp.ah, cp.aw, dtype)
+    sk = pack_feature(skip, dtype)                       # [b,hc+1,wc+1,4cs]
+    acc_t = jnp.float32 if dtype == jnp.float32 else dtype
+    y = jax.lax.conv_general_dilated(
+        up, cp.w_fm.astype(dtype), (1, 1), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=acc_t)
+    y = y + jax.lax.conv_general_dilated(
+        sk, cp.w_skip.astype(dtype), (1, 1), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=acc_t)                     # [b,h4,w4,4*cout]
+    y = y * cp.scale4.astype(acc_t) + cp.bias4.astype(acc_t)
+    y = jnp.where(y > 0, y, jnp.asarray(alpha, acc_t) * y)
+    return y.astype(dtype)
+
+
+run_packed_conv2s = run_packed_stage
+
+
 def run_packed_tail(fm: jnp.ndarray, image: jnp.ndarray,
                     tp: PackedTailParams, alpha: float = 0.1,
-                    dtype=jnp.bfloat16, out_dtype=jnp.float32
+                    dtype=jnp.bfloat16, out_dtype=jnp.float32,
+                    fm_packed: bool = False
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Packed tail forward.
 
     Args:
-      fm:    [b, h2, w2, s2dim] 2s-stage decoder features (pre-upsample).
+      fm:    [b, h2, w2, s2dim] 2s-stage decoder features (pre-upsample),
+             or — with fm_packed=True — their packed form
+             [b, h2/2, w2/2, 4*s2dim] as run_packed_conv2s emits.
       image: [b, h, w, 3] normalized input (h = 2*h2, w = 2*w2).
     Returns:
       packed: [b, h2, w2, 4*hout] packed head fields, phase order (p*2+q).
       fgcnt:  [b, h2, w2] float32 foreground sub-pixel count per cell.
     """
-    up = phase_upsample_packed(fm, tp.ah, tp.aw, dtype)     # [b,h2+1,w2+1,4c]
+    if fm_packed:
+        up = phase_upsample_from_packed(fm, tp.ah, tp.aw, dtype)
+    else:
+        up = phase_upsample_packed(fm, tp.ah, tp.aw, dtype)  # [b,h2+1,w2+1,4c]
     xp = pack_image(image, dtype)                           # [b,h2+1,w2+1,12]
 
     # accumulate in f32 (MXU default for bf16 inputs) but emit the compute
@@ -239,3 +368,75 @@ def packed_tail_from_variables(variables, fm, image, alpha: float = 0.1,
         out_dtype = jnp.float32 if dtype == jnp.float32 else dtype
     return run_packed_tail(fm, image, tp, alpha=alpha, dtype=dtype,
                            out_dtype=out_dtype)
+
+
+def packed_tail_deep_from_variables(variables, fm4, x2s, image,
+                                    alpha: float = 0.1,
+                                    dtype=jnp.bfloat16, out_dtype=None):
+    """Convenience: fold BOTH the 2s decoder stage (Conv_3/BatchNorm_3,
+    models/pvnet.py naming) and the raw tail (Conv_4/BatchNorm_4/Conv_5),
+    then run 4s features -> packed head fields with every intermediate on
+    a 128-aligned packed lattice (the full-resolution 2s activation and
+    seg/ver tensors never materialize).
+
+    fm4: [b, h4, w4, s4dim] 4s-stage activation; x2s: [b, 2h4, 2w4, c]
+    backbone skip (both from apply(..., return_4s_features=True))."""
+    p = variables["params"]
+    bs = variables["batch_stats"]
+    b, h, w, _ = image.shape
+    h2, w2 = x2s.shape[1], x2s.shape[2]
+    cp = fold_packed_stage(
+        p["Conv_3"]["kernel"], p["BatchNorm_3"]["scale"],
+        p["BatchNorm_3"]["bias"], bs["BatchNorm_3"]["mean"],
+        bs["BatchNorm_3"]["var"], fm4.shape[-1], h2, w2)
+    fm2p = run_packed_stage(fm4, x2s, cp, alpha=alpha, dtype=dtype)
+    tp = fold_packed_tail(
+        p["Conv_4"]["kernel"], p["BatchNorm_4"]["scale"],
+        p["BatchNorm_4"]["bias"], bs["BatchNorm_4"]["mean"],
+        bs["BatchNorm_4"]["var"],
+        p["Conv_5"]["kernel"], p["Conv_5"].get("bias"),
+        h, w, h2, w2)
+    if out_dtype is None:
+        out_dtype = jnp.float32 if dtype == jnp.float32 else dtype
+    return run_packed_tail(fm2p, image, tp, alpha=alpha, dtype=dtype,
+                           out_dtype=out_dtype, fm_packed=True)
+
+
+def packed_tail_deep3_from_variables(variables, fm8, x4s, x2s, image,
+                                     alpha: float = 0.1,
+                                     dtype=jnp.bfloat16, out_dtype=None):
+    """Deepest packed path: fold the 4s stage (Conv_2/BatchNorm_2), the 2s
+    stage (Conv_3/BatchNorm_3) and the raw tail, then run 8s features ->
+    packed head fields entirely on 128-aligned packed lattices. The
+    decoder above this (fc + 8s stage) already has 128-multiple channels,
+    so depth 3 is where packing naturally stops.
+
+    fm8: [b, h8, w8, s8dim] 8s-stage activation (pre-upsample); x4s/x2s:
+    backbone skips (all from apply(..., return_8s_features=True))."""
+    p = variables["params"]
+    bs = variables["batch_stats"]
+    b, h, w, _ = image.shape
+    h2, w2 = x2s.shape[1], x2s.shape[2]
+    cp4 = fold_packed_stage(
+        p["Conv_2"]["kernel"], p["BatchNorm_2"]["scale"],
+        p["BatchNorm_2"]["bias"], bs["BatchNorm_2"]["mean"],
+        bs["BatchNorm_2"]["var"], fm8.shape[-1],
+        x4s.shape[1], x4s.shape[2])
+    fm4p = run_packed_stage(fm8, x4s, cp4, alpha=alpha, dtype=dtype)
+    s4dim = p["Conv_2"]["kernel"].shape[3]
+    cp2 = fold_packed_stage(
+        p["Conv_3"]["kernel"], p["BatchNorm_3"]["scale"],
+        p["BatchNorm_3"]["bias"], bs["BatchNorm_3"]["mean"],
+        bs["BatchNorm_3"]["var"], s4dim, h2, w2)
+    fm2p = run_packed_stage(fm4p, x2s, cp2, alpha=alpha, dtype=dtype,
+                            fm_packed=True)
+    tp = fold_packed_tail(
+        p["Conv_4"]["kernel"], p["BatchNorm_4"]["scale"],
+        p["BatchNorm_4"]["bias"], bs["BatchNorm_4"]["mean"],
+        bs["BatchNorm_4"]["var"],
+        p["Conv_5"]["kernel"], p["Conv_5"].get("bias"),
+        h, w, h2, w2)
+    if out_dtype is None:
+        out_dtype = jnp.float32 if dtype == jnp.float32 else dtype
+    return run_packed_tail(fm2p, image, tp, alpha=alpha, dtype=dtype,
+                           out_dtype=out_dtype, fm_packed=True)

@@ -112,22 +112,38 @@ def poses_from_keypoints(points_3d: jnp.ndarray, kps_2d: jnp.ndarray,
 
 def fused_tail_foreground(apply_fn, variables, image: jnp.ndarray,
                           max_num: int, key: jax.Array,
-                          dtype=jnp.bfloat16):
+                          dtype=jnp.bfloat16, tail_depth: int = 1):
     """Foreground sample via the packed inference tail (ops/packed_tail.py).
 
-    Runs the FCN to the 2s stage, then computes upsample + raw conv +
-    BN/LReLU + head entirely on the half-resolution packed lattice (every
-    op a plain XLA matmul/conv on 128-aligned channels) and samples the
-    packed field directly — the full-resolution seg/ver tensors never
-    materialize. The plain path's raw stage costs ~16 ms of a 37 ms
-    forward at batch 16 purely from channel lane-padding (see
-    ops/packed_tail.py and CLAUDE.md "Performance rules")."""
+    Runs the FCN to the 2s stage (tail_depth=1), the 4s stage
+    (tail_depth=2) or the 8s stage (tail_depth=3 — every decoder tensor
+    below the 128-channel 8s stage), then computes the remaining decoder
+    — upsample(s), conv4s/conv2s stages, raw conv, BN/LReLU, head —
+    entirely on
+    half-resolution packed lattices (every op a plain XLA matmul/conv on
+    128-aligned channels) and samples the packed field directly — the
+    full-resolution seg/ver tensors never materialize. The plain path's
+    raw stage costs ~16 ms of a 37 ms forward at batch 16 purely from
+    channel lane-padding (see ops/packed_tail.py and CLAUDE.md
+    "Performance rules")."""
     from pvnet_tpu.ops import packed_tail
     from pvnet_tpu.ops import voting
 
-    fm = apply_fn(variables, image, train=False, return_2s_features=True)
-    packed, fgcnt = packed_tail.packed_tail_from_variables(
-        variables, fm, image, dtype=dtype)
+    if tail_depth >= 3:
+        fm8, x4s, x2s = apply_fn(variables, image, train=False,
+                                 return_8s_features=True)
+        packed, fgcnt = packed_tail.packed_tail_deep3_from_variables(
+            variables, fm8, x4s, x2s, image, dtype=dtype)
+    elif tail_depth == 2:
+        fm4, x2s = apply_fn(variables, image, train=False,
+                            return_4s_features=True)
+        packed, fgcnt = packed_tail.packed_tail_deep_from_variables(
+            variables, fm4, x2s, image, dtype=dtype)
+    else:
+        fm = apply_fn(variables, image, train=False,
+                      return_2s_features=True)
+        packed, fgcnt = packed_tail.packed_tail_from_variables(
+            variables, fm, image, dtype=dtype)
     return voting.sample_foreground_packed(packed, fgcnt, max_num, key)
 
 
@@ -135,7 +151,8 @@ def make_pose_pipeline(apply_fn, points_3d, K,
                        params: VoteParams = VoteParams(),
                        uncertainty: bool = False,
                        impl: Optional[str] = None,
-                       fused_tail: bool = False):
+                       fused_tail: bool = False,
+                       tail_depth: int = 1):
     """Build the fully fused image->pose function.
 
     Returns f(variables, image [b,h,w,3], key) -> (pose [b,3,4],
@@ -143,9 +160,12 @@ def make_pose_pipeline(apply_fn, points_3d, K,
 
     fused_tail=True routes upsample + raw conv + head + foreground
     selection through the packed lattice tail (ops/packed_tail.py, see
-    fused_tail_foreground); requires a resnet*_8s-shaped PVNet and even
-    image dims. The voting/PnP math downstream is identical (exact-math
-    parity tested; bf16 rounding only).
+    fused_tail_foreground); tail_depth=2 additionally packs the 2s
+    decoder stage (conv2s + the 4s->2s upsample), tail_depth=3 the 4s
+    stage as well. Requires a
+    resnet*_8s-shaped PVNet and even image dims. The voting/PnP math
+    downstream is identical (exact-math parity tested; bf16 rounding
+    only).
     """
     points_3d = jnp.asarray(points_3d, jnp.float32)
     K = jnp.asarray(K, jnp.float32)
@@ -154,7 +174,8 @@ def make_pose_pipeline(apply_fn, points_3d, K,
         from pvnet_tpu.ops import voting
         k0, k1, k2 = jax.random.split(key, 3)
         fg = fused_tail_foreground(apply_fn, variables, image,
-                                   params.max_num, k0)
+                                   params.max_num, k0,
+                                   tail_depth=tail_depth)
         kps = voting.ransac_voting_v3_from_fg(
             fg, k1, hyp_num=params.hyp_num,
             inlier_thresh=params.inlier_thresh, min_num=params.min_num,
@@ -186,7 +207,8 @@ def make_sharded_pose_pipeline(mesh, apply_fn, points_3d, K,
                                params: VoteParams = VoteParams(),
                                uncertainty: bool = False,
                                impl: Optional[str] = None,
-                               fused_tail: bool = False):
+                               fused_tail: bool = False,
+                               tail_depth: int = 1):
     """Data-parallel fused inference over a device mesh.
 
     Variables replicated, images split on dim 0 over the 'data' axis —
@@ -198,6 +220,7 @@ def make_sharded_pose_pipeline(mesh, apply_fn, points_3d, K,
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
     run = make_pose_pipeline(apply_fn, points_3d, K, params, uncertainty,
-                             impl, fused_tail=fused_tail)
+                             impl, fused_tail=fused_tail,
+                             tail_depth=tail_depth)
     return jax.jit(run, in_shardings=(repl, data, repl),
                    out_shardings=(data, data))

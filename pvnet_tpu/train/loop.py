@@ -340,9 +340,13 @@ class TrainLoop:
             do_eval = (self.cfg.eval_epoch
                        and epoch % self.cfg.eval_inter == 0
                        and epoch >= self.cfg.eval_epoch_begin)
-            evaluator = Evaluator(self.object_meta()) if do_eval else None
-            self.validate(state, val_loader, epoch,
-                          evaluate_pose=do_eval, evaluator=evaluator)
+            do_val = (do_eval or epoch % self.cfg.val_inter == 0
+                      or epoch == end_epoch - 1)
+            if do_val:
+                evaluator = Evaluator(self.object_meta()) if do_eval \
+                    else None
+                self.validate(state, val_loader, epoch,
+                              evaluate_pose=do_eval, evaluator=evaluator)
             save_model(state, epoch, self.model_dir,
                        keep=self.cfg.checkpoint_keep)
         return state

@@ -81,3 +81,34 @@ class TestTrainLoop:
         assert "test/scalar/add" in losses
         assert len(ev.add_recorder) == len(ds)
         assert np.isfinite(losses["test/scalar/loss"])
+
+
+class TestValInter:
+    def test_val_inter_skips_val_passes(self, setup, monkeypatch):
+        """val_inter > 1 runs the val-loss pass only every N epochs (plus
+        the final epoch); checkpoints still save every epoch."""
+        import dataclasses
+        paths, cfg = setup
+        cfg = dataclasses.replace(cfg, model_name="valinter_test",
+                                  val_inter=3)
+        db = LineModImageDB("duck", has_render_set=False,
+                            has_fuse_set=False, paths=paths)
+        loop = TrainLoop(cfg, "duck", paths=paths, buckets=[(64, 64)],
+                         use_mesh=False)
+
+        val_epochs = []
+        orig_validate = TrainLoop.validate
+
+        def spy(self, state, loader, epoch, *a, **kw):
+            val_epochs.append(epoch)
+            return orig_validate(self, state, loader, epoch, *a, **kw)
+
+        monkeypatch.setattr(TrainLoop, "validate", spy)
+        loop.fit(db.train_real_set, db.val_real_set or db.test_real_set,
+                 paths.linemod_dir, epochs=5, num_threads=1)
+        assert val_epochs == [0, 3, 4]   # every 3rd + the final epoch
+
+        from pvnet_tpu.train.checkpoint import load_model
+        state = loop.init_state()
+        _, begin = load_model(state, loop.model_dir)
+        assert begin == 5

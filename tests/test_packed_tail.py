@@ -90,3 +90,107 @@ class TestVotingFromPacked:
         kps = voting.ransac_voting_v3_from_fg(fg, jax.random.PRNGKey(1),
                                               hyp_num=256, impl="xla")
         np.testing.assert_allclose(np.asarray(kps[0]), KPTS, atol=0.5)
+
+
+class TestDeepPacked:
+    """tail_depth=2: the 2s decoder stage also runs on the packed lattice."""
+
+    def test_conv2s_matches_plain_forward_f32(self, model_and_vars):
+        model, variables, x = model_and_vars
+        seg, ver = model.apply(variables, x, train=False)
+        full = np.concatenate([np.asarray(seg), np.asarray(ver)], -1)
+
+        fm4, x2s = model.apply(variables, x, train=False,
+                               return_4s_features=True)
+        assert fm4.shape == (2, 8, 16, 64)
+        assert x2s.shape == (2, 16, 32, 64)
+        packed, fgcnt = pt.packed_tail_deep_from_variables(
+            variables, fm4, x2s, x, dtype=jnp.float32)
+        got = unpack(packed, 8)
+        np.testing.assert_allclose(got, full, rtol=2e-4, atol=2e-5)
+
+        mask = (full[..., 1] > full[..., 0]).astype(np.float32)
+        ref_cnt = mask.reshape(2, 16, 2, 32, 2).sum(axis=(2, 4))
+        np.testing.assert_allclose(np.asarray(fgcnt), ref_cnt)
+
+    def test_packed_conv2s_matches_plain_2s_features(self, model_and_vars):
+        model, variables, x = model_and_vars
+        fm2 = model.apply(variables, x, train=False, return_2s_features=True)
+        fm4, x2s = model.apply(variables, x, train=False,
+                               return_4s_features=True)
+        p = variables["params"]
+        bs = variables["batch_stats"]
+        cp = pt.fold_packed_conv2s(
+            p["Conv_3"]["kernel"], p["BatchNorm_3"]["scale"],
+            p["BatchNorm_3"]["bias"], bs["BatchNorm_3"]["mean"],
+            bs["BatchNorm_3"]["var"], fm4.shape[-1],
+            x2s.shape[1], x2s.shape[2])
+        fm2p = pt.run_packed_conv2s(fm4, x2s, cp, dtype=jnp.float32)
+        got = unpack(np.asarray(fm2p), fm2.shape[-1])
+        np.testing.assert_allclose(got, np.asarray(fm2), rtol=2e-4,
+                                   atol=2e-5)
+
+    def test_phase_upsample_from_packed_matches_unpacked(self):
+        rng = np.random.RandomState(3)
+        fm2 = rng.randn(1, 8, 12, 5).astype(np.float32)
+        ah = jnp.asarray(pt._shifted_phase_matrices(16, 8))
+        aw = jnp.asarray(pt._shifted_phase_matrices(24, 12))
+        ref = pt.phase_upsample_packed(jnp.asarray(fm2), ah, aw,
+                                       dtype=jnp.float32)
+        p = fm2.reshape(1, 4, 2, 6, 2, 5).transpose(0, 1, 3, 2, 4, 5)
+        fmp = jnp.asarray(p.reshape(1, 4, 6, 20))
+        got = pt.phase_upsample_from_packed(fmp, ah, aw, dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_bf16_close(self, model_and_vars):
+        model, variables, x = model_and_vars
+        seg, ver = model.apply(variables, x, train=False)
+        full = np.concatenate([np.asarray(seg), np.asarray(ver)], -1)
+        fm4, x2s = model.apply(variables, x, train=False,
+                               return_4s_features=True)
+        packed, _ = pt.packed_tail_deep_from_variables(
+            variables, fm4, x2s, x, dtype=jnp.bfloat16)
+        got = unpack(packed, 8)
+        scale = np.abs(full).max()
+        assert np.abs(got - full).max() < 0.04 * scale
+        assert np.corrcoef(got.ravel(), full.ravel())[0, 1] > 0.995
+
+    def test_pipeline_tail_depth_2(self, model_and_vars):
+        from pvnet_tpu.pipeline import VoteParams, make_pose_pipeline
+        model, variables, x = model_and_vars
+        K = np.array([[60.0, 0, 32], [0, 60, 16], [0, 0, 1]], np.float32)
+        pts = np.random.RandomState(0).randn(3, 3).astype(np.float32) * 0.05
+        run = jax.jit(make_pose_pipeline(
+            model.apply, pts, K, params=VoteParams(hyp_num=64, max_num=64),
+            fused_tail=True, tail_depth=2))
+        pose, kps = run(variables, x, jax.random.PRNGKey(0))
+        assert pose.shape == (2, 3, 4)
+        assert np.isfinite(np.asarray(kps)).all()
+
+
+class TestDepth3:
+    def test_matches_plain_forward_f32(self, model_and_vars):
+        model, variables, x = model_and_vars
+        seg, ver = model.apply(variables, x, train=False)
+        full = np.concatenate([np.asarray(seg), np.asarray(ver)], -1)
+        fm8, x4s, x2s = model.apply(variables, x, train=False,
+                                    return_8s_features=True)
+        assert fm8.shape == (2, 4, 8, 128)
+        assert x4s.shape == (2, 8, 16, 64)
+        packed, fgcnt = pt.packed_tail_deep3_from_variables(
+            variables, fm8, x4s, x2s, x, dtype=jnp.float32)
+        got = unpack(packed, 8)
+        np.testing.assert_allclose(got, full, rtol=2e-4, atol=2e-5)
+
+    def test_pipeline_tail_depth_3(self, model_and_vars):
+        from pvnet_tpu.pipeline import VoteParams, make_pose_pipeline
+        model, variables, x = model_and_vars
+        K = np.array([[60.0, 0, 32], [0, 60, 16], [0, 0, 1]], np.float32)
+        pts = np.random.RandomState(0).randn(3, 3).astype(np.float32) * 0.05
+        run = jax.jit(make_pose_pipeline(
+            model.apply, pts, K, params=VoteParams(hyp_num=64, max_num=64),
+            fused_tail=True, tail_depth=3))
+        pose, kps = run(variables, x, jax.random.PRNGKey(0))
+        assert pose.shape == (2, 3, 4)
+        assert np.isfinite(np.asarray(kps)).all()

@@ -37,7 +37,8 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--pieces", default="fm,up,img,conv,full,sel",
-                    help="comma subset of fm,up,img,conv,full,sel — run "
+                    help="comma subset of fm,up,img,conv,full,sel,"
+                         "fm4,fm8,stage2,full2,full3 — run "
                          "one piece per invocation to amortize tunnel "
                          "compiles via the compilation cache")
     args = ap.parse_args()
@@ -140,6 +141,65 @@ def main():
         t_sel = timeit_chained(sel_step, (packed, jax.random.PRNGKey(0)),
                                args.iters)
         print(f"packed_selection:     {t_sel*1e3:8.2f} ms", flush=True)
+
+    # --- deep packed decoder pieces (tail_depth 2/3) ---
+    if "fm4" in pieces:
+        def fm4_step(img):
+            f4, _ = model.apply(variables, img, train=False,
+                                return_4s_features=True)
+            return img + f4.astype(jnp.float32).mean() * 1e-12
+
+        t = timeit_chained(fm4_step, image, args.iters)
+        print(f"fcn_to_4s:            {t*1e3:8.2f} ms", flush=True)
+
+    if "fm8" in pieces:
+        def fm8_step(img):
+            f8, _, _ = model.apply(variables, img, train=False,
+                                   return_8s_features=True)
+            return img + f8.astype(jnp.float32).mean() * 1e-12
+
+        t = timeit_chained(fm8_step, image, args.iters)
+        print(f"fcn_to_8s:            {t*1e3:8.2f} ms", flush=True)
+
+    if "stage2" in pieces:
+        fm4, x2s = jax.jit(lambda v, x: model.apply(
+            v, x, train=False, return_4s_features=True))(variables, image)
+        bs = variables["batch_stats"]
+        cp = jax.jit(lambda v: pt.fold_packed_stage(
+            v["params"]["Conv_3"]["kernel"],
+            v["params"]["BatchNorm_3"]["scale"],
+            v["params"]["BatchNorm_3"]["bias"],
+            bs["BatchNorm_3"]["mean"], bs["BatchNorm_3"]["var"],
+            fm4.shape[-1], 240, 320))(variables)
+
+        def st2_step(f):
+            y = pt.run_packed_stage(f, x2s, cp)
+            return f + y.astype(f.dtype).mean() * 1e-12
+
+        t = timeit_chained(st2_step, fm4, args.iters)
+        print(f"packed_stage_2s:      {t*1e3:8.2f} ms", flush=True)
+
+    if "full2" in pieces:
+        def full2_step(x):
+            f4, x2 = model.apply(variables, x, train=False,
+                                 return_4s_features=True)
+            packed2, _ = pt.packed_tail_deep_from_variables(
+                variables, f4, x2, x)
+            return x + packed2.astype(jnp.float32).mean() * 1e-12
+
+        t = timeit_chained(full2_step, image, args.iters)
+        print(f"full_packed_depth2:   {t*1e3:8.2f} ms", flush=True)
+
+    if "full3" in pieces:
+        def full3_step(x):
+            f8, x4, x2 = model.apply(variables, x, train=False,
+                                     return_8s_features=True)
+            packed3, _ = pt.packed_tail_deep3_from_variables(
+                variables, f8, x4, x2, x)
+            return x + packed3.astype(jnp.float32).mean() * 1e-12
+
+        t = timeit_chained(full3_step, image, args.iters)
+        print(f"full_packed_depth3:   {t*1e3:8.2f} ms", flush=True)
 
 
 if __name__ == "__main__":

@@ -31,7 +31,8 @@ import numpy as np
 
 
 def build_exported(model, variables, points_3d, K, batch, height, width,
-                   uncertainty=False, vote_params=None, fused_tail=False):
+                   uncertainty=False, vote_params=None, fused_tail=False,
+                   tail_depth=1):
     """Export f(images [b,h,w,3] f32, seed i32) -> (pose, kps)."""
     import jax
     import jax.numpy as jnp
@@ -41,7 +42,8 @@ def build_exported(model, variables, points_3d, K, batch, height, width,
     run = make_pose_pipeline(model.apply, points_3d, K,
                              params=vote_params or VoteParams(),
                              uncertainty=uncertainty,
-                             fused_tail=fused_tail)
+                             fused_tail=fused_tail,
+                             tail_depth=tail_depth)
 
     def serve(images, seed):
         key = jax.random.PRNGKey(seed)
@@ -69,6 +71,9 @@ def main():
     ap.add_argument("--fused_tail", action="store_true",
                     help="export the packed-lattice tail path "
                          "(ops/packed_tail.py)")
+    ap.add_argument("--tail_depth", type=int, default=1,
+                    choices=(1, 2, 3),
+                    help="packed decoder depth with --fused_tail")
     ap.add_argument("--no-bf16", dest="bf16", action="store_false",
                     default=True)
     args = ap.parse_args()
@@ -122,7 +127,8 @@ def main():
     exp = build_exported(model, variables, points_3d, LINEMOD_K,
                          args.batch, args.height, args.width,
                          uncertainty=args.uncertainty,
-                         fused_tail=args.fused_tail)
+                         fused_tail=args.fused_tail,
+                         tail_depth=args.tail_depth)
     os.makedirs(args.out_dir, exist_ok=True)
     blob = exp.serialize()
     with open(os.path.join(args.out_dir, "pipeline.jaxexport"), "wb") as f:
@@ -131,6 +137,7 @@ def main():
         "batch": args.batch, "height": args.height, "width": args.width,
         "network": args.network, "vn": vn, "uncertainty": args.uncertainty,
         "fused_tail": args.fused_tail,
+        "tail_depth": args.tail_depth,
         "platforms": list(exp.platforms), "weights": src,
         "points_3d": points_3d.tolist(),
         "call": "fn.call(images [b,h,w,3] f32, seed i32) -> "
