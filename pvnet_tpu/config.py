@@ -211,6 +211,11 @@ class TrainConfig:
     checkpoint_keep: int = 10
     device_aug: bool = False    # run augmentation inside the jitted step
                                 # (data.augment_device) instead of on host
+    device_data: bool = False   # keep the ENTIRE training set resident in
+                                # HBM (uint8) and gather minibatches by
+                                # index on device — no per-step host
+                                # transfers (requires device_aug and
+                                # uniform image sizes)
     cache_images: bool = False  # keep decoded rgb/mask in host RAM
                                 # (~0.9 MB/img at 480x640; single-core
                                 # JPEG decode otherwise dominates the host

@@ -226,6 +226,61 @@ def solve_2x2(A: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-12
     return jnp.stack([x0, x1], axis=-1)
 
 
+def solve_spd_small(A: jnp.ndarray, b: jnp.ndarray,
+                    eps: float = 1e-10) -> jnp.ndarray:
+    """Unrolled Cholesky solve of one small SPD system A x = b.
+
+    ``jnp.linalg.solve`` lowers batched tiny systems to an LU routine with
+    pivoting loops that serialize badly on TPU; for the LM normal
+    equations (6x6, SPD by construction: J^T J + positive damping) an
+    unrolled Cholesky + two triangular substitutions compiles to a flat
+    chain of fused scalar FMAs — batch via ``jax.vmap``.
+
+    Near-rank-deficient systems (e.g. planar EPnP beta refinement, where
+    f32 cancellation drives pivots negative) take a *scale-relative*
+    pivot floor — eps * max(diag A) — a modified-Cholesky guard that
+    keeps the factor bounded instead of overflowing to NaN the way an
+    absolute clamp would.
+
+    Args:
+      A: [n, n] symmetric positive definite (n static, intended n <= ~8).
+      b: [n].
+    Returns:
+      x: [n].
+    """
+    n = A.shape[-1]
+    dmax = A[0, 0]
+    for j in range(1, n):
+        dmax = jnp.maximum(dmax, A[j, j])
+    floor = eps * dmax + 1e-30
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = A[j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        d = jnp.sqrt(jnp.maximum(s, floor))
+        L[j][j] = d
+        inv_d = 1.0 / d
+        for i in range(j + 1, n):
+            s = A[i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv_d
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x)
+
+
 def find_nearest_point_distance(ref_pts: jnp.ndarray, que_pts: jnp.ndarray,
                                 tile: int = 4096) -> jnp.ndarray:
     """For each query point, the distance to its nearest reference point.

@@ -32,7 +32,8 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from pvnet_tpu.ops.geometry import pose_from_Rt, rodrigues, inverse_rodrigues
+from pvnet_tpu.ops.geometry import (pose_from_Rt, rodrigues,
+                                    inverse_rodrigues, solve_spd_small)
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -80,7 +81,11 @@ def _betas_gauss_newton(V: jnp.ndarray, dist_w: jnp.ndarray,
     """Refine betas so camera control-point distances match world distances.
 
     V: [12, 4] null-space basis; camera control points = (V @ beta) reshaped
-    [4, 3]. Minimizes sum over the 6 pairs of (|dc_i|^2 - |dw_i|^2)^2.
+    [4, 3]. Minimizes sum over the 6 pairs of (|dc_i|^2 - |dw_i|^2)^2 with
+    damped, accept-gated steps: on near-planar configurations the plain
+    Gauss-Newton iteration is chaotically divergent (betas blow up to
+    overflow within a few steps whatever the linear solver), so rejected
+    steps keep the iterate and raise the damping, exactly like lm_refine.
     """
     idx_a = jnp.array([0, 0, 0, 1, 1, 2])
     idx_b = jnp.array([1, 2, 3, 2, 3, 3])
@@ -88,15 +93,37 @@ def _betas_gauss_newton(V: jnp.ndarray, dist_w: jnp.ndarray,
     dV = Vr[:, idx_a, :] - Vr[:, idx_b, :]             # [basis=4, 6, 3]
     target = dist_w * dist_w                           # [6]
 
-    def body(beta, _):
+    def cost_of(beta):
         dc = jnp.einsum("k,kpc->pc", beta, dV)         # [6, 3]
         r = jnp.sum(dc * dc, axis=-1) - target         # [6]
-        J = 2.0 * jnp.einsum("pc,kpc->pk", dc, dV)     # [6, 4]
-        H = J.T @ J + 1e-9 * jnp.eye(4, dtype=beta.dtype)
-        g = J.T @ r
-        return beta - jnp.linalg.solve(H, g), None
+        return r, jnp.sum(r * r)
 
-    beta, _ = jax.lax.scan(body, beta0, None, length=iters)
+    def body(state, _):
+        beta, lam, cost = state
+        dc = jnp.einsum("k,kpc->pc", beta, dV)
+        r = jnp.sum(dc * dc, axis=-1) - target
+        J = 2.0 * jnp.einsum("pc,kpc->pk", dc, dV)     # [6, 4]
+        H = J.T @ J
+        g = J.T @ r
+        damped = (H + lam * jnp.diag(jnp.maximum(jnp.diag(H), 1e-12))
+                  + 1e-12 * jnp.eye(4, dtype=beta.dtype))
+        step = solve_spd_small(damped, g)
+        beta_new = beta - step
+        _, cost_new = cost_of(beta_new)
+        accept = cost_new < cost                       # False for NaN
+        beta = jnp.where(accept, beta_new, beta)
+        cost = jnp.where(accept, cost_new, cost)
+        # near-zero initial damping = pure GN on well-behaved instances
+        # (the accept gate alone supplies the planar robustness); escalate
+        # fast once a step diverges
+        lam = jnp.clip(jnp.where(accept, lam * 0.1, lam * 100.0),
+                       1e-12, 1e12)
+        return (beta, lam, cost), None
+
+    _, cost0 = cost_of(beta0)
+    (beta, _, _), _ = jax.lax.scan(
+        body, (beta0, jnp.asarray(1e-6, beta0.dtype), cost0), None,
+        length=iters)
     return beta
 
 
@@ -113,6 +140,77 @@ def _procrustes(src: jnp.ndarray, dst: jnp.ndarray, w: jnp.ndarray
     R = Vt.T @ D @ U.T
     t = mu_d - R @ mu_s
     return R, t
+
+
+def _homography_init(pts3d: jnp.ndarray, pts2d: jnp.ndarray,
+                     K: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form pose from a plane-to-image homography (IPPE-style).
+
+    EPnP's 4-control-point formulation degrades badly on (near-)planar
+    keypoint sets — the regime cv2.solvePnP covers with its IPPE planar
+    solver (the reference's backend for `pnp()` / uncertainty init,
+    ref evaluation_utils.py:143-201). Fit the best plane through the
+    points (PCA), estimate the plane->pixel homography with a
+    Hartley-normalized weighted DLT, and decompose K^-1 H into [r1 r2 | t]
+    with SVD orthonormalization. On non-planar data the result is garbage
+    — callers pick between this and EPnP by reprojection cost.
+    """
+    dt = pts3d.dtype
+    wsum = jnp.sum(w) + 1e-9
+    c = jnp.sum(pts3d * w[:, None], axis=0) / wsum
+    X0 = pts3d - c
+    cov = (X0 * w[:, None]).T @ X0
+    _, evec = jnp.linalg.eigh(cov)                     # ascending
+    B = jnp.stack([evec[:, 2], evec[:, 1],
+                   jnp.cross(evec[:, 2], evec[:, 1])], axis=1)  # [3, 3]
+    uv = X0 @ B[:, :2]                                 # [n, 2] plane coords
+
+    # Hartley normalization keeps the 9x9 normal matrix f32-conditioned
+    def norm_T(p):
+        mu = jnp.sum(p * w[:, None], axis=0) / wsum
+        d = jnp.sqrt(jnp.sum((p - mu) ** 2, axis=-1) + 1e-12)
+        s = jnp.sqrt(2.0) / (jnp.sum(d * w) / wsum + 1e-12)
+        return (p - mu) * s, mu, s
+
+    uvn, mu_p, s_p = norm_T(uv)
+    imn, mu_i, s_i = norm_T(pts2d)
+
+    x, y = uvn[:, 0], uvn[:, 1]
+    u, v = imn[:, 0], imn[:, 1]
+    zero = jnp.zeros_like(x)
+    one = jnp.ones_like(x)
+    ru = jnp.stack([-x, -y, -one, zero, zero, zero, u * x, u * y, u], -1)
+    rv = jnp.stack([zero, zero, zero, -x, -y, -one, v * x, v * y, v], -1)
+    A = jnp.concatenate([ru * jnp.sqrt(w)[:, None],
+                         rv * jnp.sqrt(w)[:, None]], axis=0)   # [2n, 9]
+    _, avec = jnp.linalg.eigh(A.T @ A)
+    Hn = avec[:, 0].reshape(3, 3)
+
+    # denormalize: p_img = T_i^-1 Hn T_p, with T(p) = s (p - mu)
+    Ti_inv = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]],
+                       dt)
+    Ti_inv = Ti_inv.at[0, 0].set(1.0 / s_i).at[1, 1].set(1.0 / s_i) \
+        .at[0, 2].set(mu_i[0]).at[1, 2].set(mu_i[1])
+    Tp = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]], dt)
+    Tp = Tp.at[0, 0].set(s_p).at[1, 1].set(s_p) \
+        .at[0, 2].set(-s_p * mu_p[0]).at[1, 2].set(-s_p * mu_p[1])
+    H = Ti_inv @ Hn @ Tp
+
+    M = jnp.linalg.inv(K.astype(dt)) @ H               # ~ [r1 r2 | t']
+    lam = 1.0 / (jnp.sqrt(jnp.sum(M[:, 0] ** 2)) + 1e-12)
+    # cheirality: points must sit in front of the camera (z of t' > 0)
+    lam = lam * jnp.where(M[2, 2] < 0, -1.0, 1.0)
+    r1 = M[:, 0] * lam
+    r2 = M[:, 1] * lam
+    t_pl = M[:, 2] * lam
+    P = jnp.stack([r1, r2, jnp.cross(r1, r2)], axis=1)
+    U, _, Vt = jnp.linalg.svd(P)
+    d = jnp.sign(jnp.linalg.det(U @ Vt))
+    D = jnp.diag(jnp.array([1.0, 1.0, 1.0], dt)).at[2, 2].set(d)
+    P = U @ D @ Vt                                     # camera_R_plane
+    R = P @ B.T
+    t = t_pl - R @ c
+    return pose_from_Rt(R, t)
 
 
 def epnp(pts3d: jnp.ndarray, pts2d: jnp.ndarray, K: jnp.ndarray,
@@ -200,8 +298,11 @@ def _epnp_impl(pts3d, pts2d, K, weights):
 
     pose_a = solve_from(beta_seed1)
     pose_b = solve_from(beta_seed2)
-    return jnp.where(reproj_cost(pose_a) <= reproj_cost(pose_b),
-                     pose_a, pose_b)
+    pose_h = _homography_init(pts3d, pts2d, K, w)
+    cands = jnp.stack([pose_a, pose_b, pose_h])
+    costs = jax.vmap(reproj_cost)(cands)
+    costs = jnp.where(jnp.isnan(costs), jnp.inf, costs)
+    return cands[jnp.argmin(costs)]
 
 
 # ---------------------------------------------------------------------------
@@ -257,7 +358,9 @@ def _lm_refine_impl(pose0, pts3d, pts2d, K, w3, iters):
         H = J.T @ J
         g = J.T @ r
         damped = H + lam * jnp.diag(jnp.maximum(jnp.diag(H), 1e-9))
-        step = jnp.linalg.solve(
+        # SPD by construction -> unrolled Cholesky (jnp.linalg.solve's
+        # batched tiny-LU serializes on TPU; see geometry.solve_spd_small)
+        step = solve_spd_small(
             damped + 1e-12 * jnp.eye(6, dtype=p.dtype), g)
         p_new = p - step
         cost_new = jnp.sum(res_fn(p_new) ** 2)

@@ -104,10 +104,29 @@ class TrainLoop:
                           epoch=-1 if self.cfg.resume else 0)
 
     # -- steps ------------------------------------------------------------
-    def train_step_fn(self, aug_hw=None):
+    def train_step_fn(self, aug_hw=None, from_data: bool = False):
         """Jitted train step; with cfg.device_aug, one cached step per
-        target (h, w) taking (state, batch, rng)."""
+        target (h, w) taking (state, batch, rng). ``from_data``: the
+        device-resident variant taking (state, data, idx, rng)
+        (trainer.train_step_from_data)."""
         import functools
+        if from_data:
+            if not hasattr(self, "_data_steps"):
+                self._data_steps = {}
+            if aug_hw not in self._data_steps:
+                if self.mesh is not None:
+                    step = trainer_mod.make_sharded_train_step_from_data(
+                        self.mesh, self.cfg.vertex_loss_ratio, donate=False,
+                        use_motion=self.cfg.motion_model,
+                        aug_cfg=self.cfg.aug_cfg, aug_hw=aug_hw)
+                else:
+                    step = jax.jit(functools.partial(
+                        trainer_mod.train_step_from_data,
+                        vertex_loss_ratio=self.cfg.vertex_loss_ratio,
+                        use_motion=self.cfg.motion_model,
+                        aug_cfg=self.cfg.aug_cfg, aug_hw=aug_hw))
+                self._data_steps[aug_hw] = step
+            return self._data_steps[aug_hw]
         if aug_hw is not None:
             if not hasattr(self, "_aug_steps"):
                 self._aug_steps = {}
@@ -136,6 +155,78 @@ class TrainLoop:
                     vertex_loss_ratio=self.cfg.vertex_loss_ratio,
                     use_motion=self.cfg.motion_model))
         return self._train_step
+
+    def build_device_dataset(self, train_db, data_prefix: str):
+        """Decode the whole training set once and park it in HBM as uint8
+        (trainer.train_step_from_data's ``data``). Requires uniform image
+        sizes (LINEMOD frames are all 480x640). ~2 GB for 2048 frames —
+        the one-time transfer replaces ~15 MB/step of host->device traffic
+        (and the tunnel's never-freed per-transfer staging, CLAUDE.md)."""
+        ds = PoseDataset(train_db, data_prefix, self.vote_type,
+                         augment=False, aug_cfg=self.cfg.aug_cfg,
+                         use_motion=self.cfg.motion_model, raw=True)
+        n = len(train_db)
+        s0 = ds[(0, 0, 0)]
+        images = np.empty((n,) + s0.rgb.shape, np.uint8)
+        masks = np.empty((n,) + s0.mask.shape, np.uint8)
+        hcoords = np.empty((n,) + s0.hcoords.shape, np.float32)
+        ignore = np.empty((n,), np.float32)
+        for i in range(n):
+            s = ds[(i, 0, 0)]
+            if s.rgb.shape != s0.rgb.shape:
+                raise ValueError(
+                    f"device_data needs uniform image sizes; record {i} is "
+                    f"{s.rgb.shape} vs {s0.rgb.shape}")
+            images[i] = s.rgb
+            masks[i] = s.mask
+            hcoords[i] = s.hcoords
+            ignore[i] = float(s.ignore_vertex)
+        data = {"image": jnp.asarray(images), "mask": jnp.asarray(masks),
+                "hcoords": jnp.asarray(hcoords),
+                "ignore": jnp.asarray(ignore)}
+        if self.mesh is not None:
+            data = replicate(data, self.mesh)
+        jax.block_until_ready(data["image"])
+        return data
+
+    def train_epoch_from_data(self, state, data, sampler, epoch: int):
+        """Device-resident variant of train_epoch: the sampler yields
+        (index, h, w) batches; only the index vector crosses the host
+        boundary each step."""
+        meters = {k: AverageMeter() for k in
+                  ("loss", "seg_loss", "ver_loss", "precision", "recall")}
+        begin = time.time()
+        size = len(sampler)
+        seed = np.random.SeedSequence([self.cfg.seed, 7919 * (epoch + 1)])
+        aug_keys = seed.generate_state(2 * size).astype(
+            np.uint32).reshape(size, 2)
+        pending = []
+        for idx, batch_ihw in enumerate(sampler):
+            ids = np.asarray([i for i, _, _ in batch_ihw], np.int32)
+            aug_hw = (batch_ihw[0][1], batch_ihw[0][2])
+            state, metrics = self.train_step_fn(aug_hw, from_data=True)(
+                state, data, ids, aug_keys[idx % size])
+            pending.append(metrics)
+            if idx % self.cfg.loss_rec_step == 0:
+                for met in pending:
+                    for k, m in meters.items():
+                        m.update(float(met[k]))
+                pending.clear()
+                step = epoch * size + idx
+                self.recorder.rec_loss_batch(
+                    {f"train/scalar/{k}": m.avg for k, m in meters.items()},
+                    step, epoch)
+                for m in meters.values():
+                    m.reset()
+        try:
+            rss_gb = int(open("/proc/self/statm").read().split()[1]) \
+                * 4096 / 1e9
+        except OSError:  # pragma: no cover
+            rss_gb = float("nan")
+        print(f"epoch {epoch} training cost {time.time() - begin:.1f} s "
+              f"(host rss {rss_gb:.1f} GB, "
+              f"{len(jax.live_arrays())} live arrays)", flush=True)
+        return state
 
     def train_epoch(self, state, loader, epoch: int):
         """(ref train() :132-175)"""
@@ -180,18 +271,45 @@ class TrainLoop:
                     step, epoch)
                 for m in meters.values():
                     m.reset()
-        print(f"epoch {epoch} training cost {time.time() - begin:.1f} s",
-              flush=True)
+        try:
+            rss_gb = int(open("/proc/self/statm").read().split()[1]) \
+                * 4096 / 1e9
+        except OSError:  # pragma: no cover
+            rss_gb = float("nan")
+        print(f"epoch {epoch} training cost {time.time() - begin:.1f} s "
+              f"(host rss {rss_gb:.1f} GB, "
+              f"{len(jax.live_arrays())} live arrays)", flush=True)
         return state
 
     def eval_pipeline(self, hw, batch: int, uncertainty: bool,
-                      vote_params=None):
-        """Jitted forward+vote per image shape (cached)."""
+                      vote_params=None, tail_depth: int = 0):
+        """Jitted forward+vote per image shape (cached).
+
+        tail_depth 0 = plain full-resolution path; 1-3 route the decoder
+        tail through the packed lattices (pipeline.fused_tail_foreground)
+        — exact-math-equivalent, faster on TPU."""
         params = vote_params or pl_mod.VoteParams()
-        key = (hw, batch, uncertainty, params)
+        key = (hw, batch, uncertainty, params, tail_depth)
         if key not in self._eval_forward_cache:
 
             def fwd(variables, image, rngkey):
+                if tail_depth > 0:
+                    from pvnet_tpu.ops import voting
+                    k0, k1, k2 = jax.random.split(rngkey, 3)
+                    fg = pl_mod.fused_tail_foreground(
+                        self.model.apply, variables, image, params.max_num,
+                        k0, tail_depth=tail_depth)
+                    kps = voting.ransac_voting_v3_from_fg(
+                        fg, k1, hyp_num=params.hyp_num,
+                        inlier_thresh=params.inlier_thresh,
+                        min_num=params.min_num)
+                    if uncertainty:
+                        _, cov = voting.estimate_voting_distribution_from_fg(
+                            fg, kps, k2,
+                            hyp_num=params.uncertainty_hyp_num,
+                            inlier_thresh=params.inlier_thresh)
+                        return kps, cov
+                    return kps
                 mask, vertex = pl_mod.predict_fields(
                     self.model.apply, variables, image)
                 if uncertainty:
@@ -208,16 +326,20 @@ class TrainLoop:
                  use_camera_intrinsic: bool = False,
                  evaluator: Optional[Evaluator] = None,
                  save_inter_dir: Optional[str] = None,
-                 vote_params=None):
+                 vote_params=None, tail_depth: int = 0):
         """(ref val() :177-253) — loss metrics always; pose metrics when
         evaluate_pose."""
         import functools
         meters = {k: AverageMeter() for k in
                   ("loss", "seg_loss", "ver_loss", "precision", "recall")}
-        eval_loss = jax.jit(functools.partial(
-            trainer_mod.eval_step,
-            vertex_loss_ratio=self.cfg.vertex_loss_ratio,
-            use_motion=self.cfg.motion_model))
+        # one jit wrapper per loop (a fresh wrapper per call would reload
+        # a new executable host-side every epoch)
+        if not hasattr(self, "_eval_loss_fn"):
+            self._eval_loss_fn = jax.jit(functools.partial(
+                trainer_mod.eval_step,
+                vertex_loss_ratio=self.cfg.vertex_loss_ratio,
+                use_motion=self.cfg.motion_model))
+        eval_loss = self._eval_loss_fn
         key = jax.random.PRNGKey(0)
         begin = time.time()
 
@@ -230,7 +352,7 @@ class TrainLoop:
             if evaluate_pose and evaluator is not None:
                 b, h, w = dev["mask"].shape
                 fwd = self.eval_pipeline((h, w), b, uncertainty,
-                                         vote_params)
+                                         vote_params, tail_depth)
                 variables = {"params": state.params,
                              "batch_stats": state.batch_stats}
                 key = jax.random.fold_in(key, bidx)
@@ -301,15 +423,19 @@ class TrainLoop:
             seed=self.cfg.seed)
         train_loader = Prefetcher(train_set, train_sampler,
                                   num_threads=num_threads)
+        val_loader = self.make_val_loader(val_db, data_prefix, num_threads)
+        return train_loader, val_loader
+
+    def make_val_loader(self, val_db: Sequence[dict], data_prefix: str,
+                        num_threads: int = 4):
+        aug = self.cfg.aug_cfg
         val_set = PoseDataset(val_db, data_prefix, self.vote_type,
                               augment=False, aug_cfg=aug,
                               use_motion=self.cfg.motion_model)
         val_sampler = ImageSizeBatchSampler(
             range(len(val_set)), self.cfg.test_batch_size,
             aug_cfg=aug, shuffle=False)
-        val_loader = Prefetcher(val_set, val_sampler,
-                                num_threads=num_threads)
-        return train_loader, val_loader
+        return Prefetcher(val_set, val_sampler, num_threads=num_threads)
 
     def object_meta(self) -> ObjectMeta:
         modeldb = LineModModelDB(self.paths)
@@ -330,13 +456,32 @@ class TrainLoop:
         (ref train_net() :305-347)."""
         state = self.init_state(imagenet_pth=imagenet_pth)
         state, begin_epoch = self.resume(state)
-        train_loader, val_loader = self.make_loaders(
-            train_db, val_db, data_prefix, num_threads)
+        device_data = None
+        train_sampler = None
+        if self.cfg.device_data:
+            if not self.cfg.device_aug:
+                raise ValueError("device_data requires device_aug "
+                                 "(vertex targets are computed on device "
+                                 "post-warp)")
+            device_data = self.build_device_dataset(train_db, data_prefix)
+            train_sampler = ImageSizeBatchSampler(
+                range(len(train_db)), self.cfg.train_batch_size,
+                drop_last=True, aug_cfg=self.cfg.aug_cfg,
+                buckets=self.buckets, seed=self.cfg.seed)
+            val_loader = self.make_val_loader(val_db, data_prefix,
+                                              num_threads)
+        else:
+            train_loader, val_loader = self.make_loaders(
+                train_db, val_db, data_prefix, num_threads)
         end_epoch = epochs if epochs is not None else self.cfg.epoch_num
         for epoch in range(begin_epoch, end_epoch):
             lr = trainer_mod.lr_for_epoch(self.cfg, epoch)
             state = trainer_mod.set_learning_rate(state, lr)
-            state = self.train_epoch(state, train_loader, epoch)
+            if device_data is not None:
+                state = self.train_epoch_from_data(state, device_data,
+                                                   train_sampler, epoch)
+            else:
+                state = self.train_epoch(state, train_loader, epoch)
             do_eval = (self.cfg.eval_epoch
                        and epoch % self.cfg.eval_inter == 0
                        and epoch >= self.cfg.eval_epoch_begin)

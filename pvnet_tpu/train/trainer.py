@@ -136,6 +136,57 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
     return new_state, metrics
 
 
+def train_step_from_data(state: TrainState, data: Dict[str, jnp.ndarray],
+                         idx: jnp.ndarray,
+                         rng: Optional[jax.Array] = None,
+                         vertex_loss_ratio: float = 1.0,
+                         use_motion: bool = False,
+                         aug_cfg=None,
+                         aug_hw: Optional[Tuple[int, int]] = None
+                         ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """Device-resident input pipeline: one step that gathers its minibatch
+    from the WHOLE training set living in HBM.
+
+    data: {image [N,h,w,3] uint8, mask [N,h,w] uint8, hcoords [N,k,3]
+    float32, ignore [N] float32} — uint8 frames for the full set are small
+    (LINEMOD-scale: ~2 GB), so keeping them resident removes the host from
+    the steady-state input path entirely; the only per-step host->device
+    transfer is ``idx`` [b] int32. This matters doubly on this backend:
+    the tunnel's per-transfer host staging buffers are never freed
+    (~22 MB/step leak with host batches — see CLAUDE.md), and single-core
+    JPEG decode can't feed the chip. Augmentation still runs on device
+    (aug_cfg/aug_hw, data.augment_device)."""
+    batch = {"image": data["image"][idx], "mask": data["mask"][idx],
+             "hcoords": data["hcoords"][idx]}
+    if "ignore" in data:
+        batch["ignore"] = data["ignore"][idx]
+    return train_step(state, batch, rng, vertex_loss_ratio, use_motion,
+                      aug_cfg, aug_hw)
+
+
+def make_sharded_train_step_from_data(mesh: Mesh,
+                                      vertex_loss_ratio: float = 1.0,
+                                      donate: bool = True,
+                                      use_motion: bool = False,
+                                      aug_cfg=None,
+                                      aug_hw: Optional[Tuple[int, int]] = None):
+    """Data-parallel variant of train_step_from_data: the resident dataset
+    is replicated per chip, ``idx`` is split over the 'data' axis, so each
+    chip gathers its own shard of the minibatch with no collectives."""
+    repl = NamedSharding(mesh, P())
+    data_s = NamedSharding(mesh, P("data"))
+    step = functools.partial(train_step_from_data,
+                             vertex_loss_ratio=vertex_loss_ratio,
+                             use_motion=use_motion,
+                             aug_cfg=aug_cfg, aug_hw=aug_hw)
+    return jax.jit(
+        step,
+        in_shardings=(repl, repl, data_s, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
 def eval_forward(state: TrainState, image: jnp.ndarray
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Inference forward pass with frozen batch statistics."""

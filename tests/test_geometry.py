@@ -125,3 +125,30 @@ class TestDepthBackprojection:
         proj = proj[:, :2] / proj[:, 2:]
         np.testing.assert_allclose(proj, pts_2d, atol=1e-3)
         np.testing.assert_allclose(pts[:, 2], depth[mask], atol=1e-5)
+
+
+class TestSolveSPDSmall:
+    def test_matches_linalg_solve(self):
+        from pvnet_tpu.ops.geometry import solve_spd_small
+        rng = np.random.RandomState(0)
+        for n in (2, 4, 6):
+            M = rng.randn(64, n, n).astype(np.float32)
+            A = (M @ M.transpose(0, 2, 1)
+                 + n * np.eye(n, dtype=np.float32))
+            b = rng.randn(64, n).astype(np.float32)
+            got = np.asarray(
+                jax.vmap(solve_spd_small)(jnp.asarray(A), jnp.asarray(b)))
+            ref = np.linalg.solve(A.astype(np.float64),
+                                  b[..., None].astype(np.float64))[..., 0]
+            np.testing.assert_allclose(got, ref, rtol=2e-3, atol=1e-4)
+
+    def test_near_rank_deficient_stays_finite(self):
+        """The f32 planar-EPnP regime: huge-condition normal matrix with a
+        tiny ridge must yield a finite (bounded) step, not NaN overflow."""
+        from pvnet_tpu.ops.geometry import solve_spd_small
+        rng = np.random.RandomState(1)
+        J = rng.randn(6, 2).astype(np.float32) * 300.0   # rank 2 of 6
+        A = J @ J.T + 1e-9 * np.eye(6, dtype=np.float32)
+        b = (J @ rng.randn(2)).astype(np.float32)
+        x = np.asarray(solve_spd_small(jnp.asarray(A), jnp.asarray(b)))
+        assert np.isfinite(x).all()

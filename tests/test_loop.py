@@ -112,3 +112,91 @@ class TestValInter:
         state = loop.init_state()
         _, begin = load_model(state, loop.model_dir)
         assert begin == 5
+
+
+class TestPackedEval:
+    def test_validate_with_packed_tail(self, setup):
+        """tail_depth=3 eval path: packed decoder feeds voting; metrics
+        land like the plain path's (exact-math-equivalent tail)."""
+        paths, cfg = setup
+        db = LineModImageDB("duck", has_render_set=False,
+                            has_fuse_set=False, paths=paths)
+        loop = TrainLoop(cfg, "duck", paths=paths, use_mesh=False)
+        from pvnet_tpu.train.checkpoint import load_model
+        state = loop.init_state()
+        state, epoch = load_model(state, loop.model_dir)
+        ds = PoseDataset(db.test_real_set, paths.linemod_dir, cfg.vote_type,
+                         augment=False, aug_cfg=cfg.aug_cfg)
+        sampler = ImageSizeBatchSampler(range(len(ds)), 2,
+                                        aug_cfg=cfg.aug_cfg, shuffle=False)
+        loader = Prefetcher(ds, sampler, num_threads=1)
+        ev = Evaluator(loop.object_meta())
+        losses = loop.validate(state, loader, epoch, "test",
+                               evaluate_pose=True, evaluator=ev,
+                               tail_depth=3)
+        assert "test/scalar/add" in losses
+        assert len(ev.add_recorder) == len(ds)
+
+
+class TestDeviceData:
+    def test_fit_device_resident(self, setup):
+        """device_data: the training set lives in HBM; fit runs epochs
+        gathering minibatches by index (no per-step host batches)."""
+        import dataclasses
+        paths, cfg = setup
+        cfg = dataclasses.replace(cfg, model_name="devdata_test",
+                                  device_aug=True, device_data=True)
+        db = LineModImageDB("duck", has_render_set=False,
+                            has_fuse_set=False, paths=paths)
+        loop = TrainLoop(cfg, "duck", paths=paths, buckets=[(64, 64)],
+                         use_mesh=False)
+        state = loop.fit(db.train_real_set,
+                         db.val_real_set or db.test_real_set,
+                         paths.linemod_dir, epochs=1, num_threads=1)
+        assert int(jax.device_get(state.step)) > 0
+
+    def test_sharded_from_data_step(self):
+        """make_sharded_train_step_from_data on the 8-device mesh: the
+        resident set is replicated, idx split over 'data'."""
+        import jax.numpy as jnp
+        from pvnet_tpu.config import TrainConfig
+        from pvnet_tpu.parallel import make_mesh, replicate
+        from pvnet_tpu.train import trainer as trainer_mod
+
+        cfg = TrainConfig()
+        from pvnet_tpu.models.pvnet import build_model
+        model = build_model("resnet18_8s", ver_dim=18, seg_dim=2)
+        state = trainer_mod.create_train_state(
+            model, cfg, (8, 32, 32, 3), jax.random.PRNGKey(0))
+        mesh = make_mesh()
+        state = replicate(state, mesh)
+        rng = np.random.RandomState(0)
+        n = 12
+        data = replicate({
+            "image": jnp.asarray(rng.randint(0, 255, (n, 40, 40, 3)),
+                                 jnp.uint8),
+            "mask": jnp.asarray(rng.randint(0, 2, (n, 40, 40)), jnp.uint8),
+            "hcoords": jnp.asarray(np.concatenate(
+                [rng.rand(n, 9, 2) * 32, np.ones((n, 9, 1))], -1),
+                jnp.float32),
+            "ignore": jnp.zeros((n,), jnp.float32),
+        }, mesh)
+        step = trainer_mod.make_sharded_train_step_from_data(
+            mesh, donate=False, aug_cfg=cfg.aug_cfg, aug_hw=(32, 32))
+        idx = np.arange(8, dtype=np.int32)
+        new_state, metrics = step(state, data, idx, np.array([0, 1],
+                                                            np.uint32))
+        assert np.isfinite(float(jax.device_get(metrics["loss"])))
+
+    def test_device_data_requires_device_aug(self, setup):
+        import dataclasses
+        paths, cfg = setup
+        cfg = dataclasses.replace(cfg, model_name="devdata_bad",
+                                  device_data=True, device_aug=False)
+        db = LineModImageDB("duck", has_render_set=False,
+                            has_fuse_set=False, paths=paths)
+        loop = TrainLoop(cfg, "duck", paths=paths, use_mesh=False)
+        with pytest.raises(ValueError, match="device_aug"):
+            loop.fit(db.train_real_set,
+                     db.val_real_set or db.test_real_set,
+                     paths.linemod_dir, epochs=1, num_threads=1)

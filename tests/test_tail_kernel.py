@@ -178,7 +178,10 @@ class TestFusedPipeline:
         seg, _ = m.apply(variables, x, train=False)
         total_ref = np.asarray(jnp.argmax(seg, -1).sum(axis=(1, 2)))
         diff = np.abs(np.asarray(fg.total) - total_ref)
-        assert (diff <= np.maximum(4, 0.01 * total_ref)).all(), \
+        # random-init logits sit near zero, so a few percent of pixels are
+        # within one bf16 ulp of the argmax boundary; trained fields have
+        # sharp margins (exact-math parity is in test_packed_tail)
+        assert (diff <= np.maximum(4, 0.025 * total_ref)).all(), \
             (np.asarray(fg.total), total_ref)
 
     def test_uncertainty_variant_runs(self, model_and_vars):

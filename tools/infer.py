@@ -50,6 +50,9 @@ def parse_args():
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--uncertainty", action="store_true")
     p.add_argument("--hyp_num", type=int, default=None)
+    p.add_argument("--tail_depth", type=int, default=0, choices=(0, 1, 2, 3),
+                   help="0 plain decoder; 1-3 packed-lattice tail depth "
+                        "(ops/packed_tail.py; needs even image dims)")
     p.add_argument("--output", default="poses.jsonl")
     return p.parse_args()
 
@@ -112,7 +115,8 @@ def main():
         params = params._replace(hyp_num=args.hyp_num)
     run = pl_mod.make_sharded_pose_pipeline(
         mesh, model.apply, pts3d, K, params=params,
-        uncertainty=args.uncertainty)
+        uncertainty=args.uncertainty,
+        fused_tail=args.tail_depth > 0, tail_depth=args.tail_depth)
 
     def load_image(path):
         img = np.array(Image.open(path).convert("RGB"), np.float32) / 255.0

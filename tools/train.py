@@ -28,6 +28,10 @@ def parse_args():
     p.add_argument("--test_model", action="store_true")
     p.add_argument("--use_test_set", action="store_true")
     p.add_argument("--use_uncertainty_pnp", action="store_true")
+    p.add_argument("--tail_depth", type=int, default=0,
+                   choices=(0, 1, 2, 3),
+                   help="eval decoder tail: 0 plain; 1-3 packed "
+                        "lattice depth (ops/packed_tail.py)")
     p.add_argument("--load_epoch", type=int, default=-1)
     p.add_argument("--normal", action="store_true", default=True)
     p.add_argument("--no-normal", dest="normal", action="store_false")
@@ -62,6 +66,10 @@ def parse_args():
                    help="run augmentation on device inside the jitted "
                         "train step (data.augment_device) instead of in "
                         "host threads")
+    p.add_argument("--device_data", action="store_true",
+                   help="keep the whole training set resident in HBM "
+                        "(uint8) and gather minibatches by index on "
+                        "device; implies --device_aug")
     return p.parse_args()
 
 
@@ -89,6 +97,9 @@ def main():
         cfg.epoch_num = args.epochs
     if args.device_aug:
         cfg.device_aug = True
+    if args.device_data:
+        cfg.device_aug = True
+        cfg.device_data = True
 
     paths = PathConfig(data_dir=args.data_dir) if args.data_dir \
         else PathConfig()
@@ -138,6 +149,7 @@ def main():
             loop.validate(state, loader, epoch, prefix,
                           evaluate_pose=True,
                           uncertainty=args.use_uncertainty_pnp,
+                          tail_depth=args.tail_depth,
                           evaluator=Evaluator(loop.object_meta()),
                           save_inter_dir=(args.save_inter_dir
                                           if args.save_inter_result
@@ -156,6 +168,7 @@ def main():
             loop.validate(state, loader, epoch, f"occ_{prefix}",
                           evaluate_pose=True,
                           uncertainty=args.use_uncertainty_pnp,
+                          tail_depth=args.tail_depth,
                           evaluator=Evaluator(loop.object_meta()))
 
         if args.truncated:
@@ -171,6 +184,7 @@ def main():
             loop.validate(state, loader, epoch, "trun_test",
                           evaluate_pose=True,
                           uncertainty=args.use_uncertainty_pnp,
+                          tail_depth=args.tail_depth,
                           use_camera_intrinsic=True,
                           evaluator=Evaluator(loop.object_meta()))
         return
