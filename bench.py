@@ -76,6 +76,9 @@ def load_weights(model, image, ckpt_path):
         restored = serialization.from_bytes(
             {"params": variables["params"],
              "batch_stats": variables["batch_stats"]}, f.read())
+    # from_bytes yields host numpy arrays; park them in HBM once, or every
+    # dispatch re-ships ~26 MB of weights through the tunnel (~1 s/batch).
+    restored = jax.device_put(restored)
     return {"params": restored["params"],
             "batch_stats": restored["batch_stats"]}, "trained-synthetic"
 
