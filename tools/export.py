@@ -68,10 +68,12 @@ def main():
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--uncertainty", action="store_true")
-    ap.add_argument("--fused_tail", action="store_true",
+    ap.add_argument("--fused_tail", action="store_true", default=True,
                     help="export the packed-lattice tail path "
-                         "(ops/packed_tail.py)")
-    ap.add_argument("--tail_depth", type=int, default=1,
+                         "(ops/packed_tail.py; fastest measured, default)")
+    ap.add_argument("--no-fused_tail", dest="fused_tail",
+                    action="store_false")
+    ap.add_argument("--tail_depth", type=int, default=3,
                     choices=(1, 2, 3),
                     help="packed decoder depth with --fused_tail")
     ap.add_argument("--no-bf16", dest="bf16", action="store_false",

@@ -50,9 +50,10 @@ def parse_args():
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--uncertainty", action="store_true")
     p.add_argument("--hyp_num", type=int, default=None)
-    p.add_argument("--tail_depth", type=int, default=0, choices=(0, 1, 2, 3),
+    p.add_argument("--tail_depth", type=int, default=3, choices=(0, 1, 2, 3),
                    help="0 plain decoder; 1-3 packed-lattice tail depth "
-                        "(ops/packed_tail.py; needs even image dims)")
+                        "(ops/packed_tail.py; needs even image dims; "
+                        "3 is the fastest measured and the default)")
     p.add_argument("--output", default="poses.jsonl")
     return p.parse_args()
 
