@@ -32,6 +32,28 @@ def he_fanout_normal():
                                             "truncated_normal")
 
 
+def space_to_batch(x: jnp.ndarray, d: int) -> jnp.ndarray:
+    """[b, h, w, c] -> [b*d*d, h/d, w/d, c] interleaved subgrids.
+
+    A stride-1, pad=d, dilation-d 3x3 conv is exactly a dense pad-1 3x3
+    conv run independently on each of the d*d subgrids (taps at +-d stay
+    on one subgrid; subgrid zero-padding coincides with the image-edge
+    zero-padding). Dilated convs lower ~10% slower than dense ones on
+    this backend (tools/bench_dilated.py), and everything position-
+    independent (BN, relu, residual adds, 1x1 convs) commutes with the
+    regrouping, so whole dilated stages run in this form."""
+    b, h, w, c = x.shape
+    xs = x.reshape(b, h // d, d, w // d, d, c).transpose(0, 2, 4, 1, 3, 5)
+    return xs.reshape(b * d * d, h // d, w // d, c)
+
+
+def batch_to_space(x: jnp.ndarray, d: int, batch: int) -> jnp.ndarray:
+    """Inverse of space_to_batch."""
+    _, hs, ws, c = x.shape
+    xs = x.reshape(batch, d, d, hs, ws, c).transpose(0, 3, 1, 4, 2, 5)
+    return xs.reshape(batch, hs * d, ws * d, c)
+
+
 class BasicBlock(nn.Module):
     """Two 3x3 convs + identity shortcut (ref resnet.py:41-70)."""
     filters: int
@@ -110,6 +132,13 @@ class ResNetBackbone(nn.Module):
     stage_sizes: Sequence[int] = (2, 2, 2, 2)
     output_stride: int = 8
     dtype: Any = jnp.float32
+    # 's2b' runs dilated stages on space-to-batch subgrids (exact same
+    # math; the isolated convs measure 1.07-1.11x faster,
+    # tools/bench_dilated.py, but at batch 128 the per-stage regroup
+    # transposes cost more than the conv gain: backbone 98.0 ms s2b vs
+    # 89.9 ms direct). 'direct' (default) uses kernel-dilated convs.
+    # Parameters are identical either way.
+    dilated_impl: str = "direct"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -137,9 +166,19 @@ class ResNetBackbone(nn.Module):
                     stride = 1
                 else:
                     current_stride *= stride
+            s2b = (self.dilated_impl == "s2b" and dilation > 1
+                   and stride == 1
+                   and x.shape[1] % dilation == 0
+                   and x.shape[2] % dilation == 0)
+            if s2b:
+                batch = x.shape[0]
+                x = space_to_batch(x, dilation)
             for i in range(n_blocks):
                 x = self.block(filters, strides=stride if i == 0 else 1,
-                               dilation=dilation, conv=conv, norm=norm)(x)
+                               dilation=1 if s2b else dilation,
+                               conv=conv, norm=norm)(x)
+            if s2b:
+                x = batch_to_space(x, dilation, batch)
             feats.append(x)
 
         x4s, x8s, x16s, x32s = feats

@@ -52,7 +52,7 @@ class PackedTailParams(NamedTuple):
     ah: jnp.ndarray        # [2, H/2+1, h2] shifted-phase h-interp matrices
     aw: jnp.ndarray        # [2, W/2+1, w2] shifted-phase w-interp matrices
     w_fm: jnp.ndarray      # [2, 2, 4*cin_fm, 4*cout] packed conv (features)
-    w_im: jnp.ndarray      # [2, 2, 12, 4*cout] packed conv (rgb taps)
+    w_im: jnp.ndarray      # [4, 4, 3, 4*cout] direct stride-2 conv (rgb)
     scale4: jnp.ndarray    # [4*cout] phase-tiled BN scale
     bias4: jnp.ndarray     # [4*cout] phase-tiled BN bias
     w_head4: jnp.ndarray   # [4*cout, 4*hout] block-diagonal head
@@ -104,6 +104,49 @@ def _pack_conv_weights(w) -> jnp.ndarray:
     return wp.reshape(2, 2, 4 * cin, 4 * cout)
 
 
+def _direct_scatter_tensor() -> np.ndarray:
+    """Constant [3, 3, 4, 4, 4] scatter: T[dy, dx, ry, rx, pq] = 1 iff
+    full-res tap (dy, dx) of output phase pq = (p*2+q) reads input pixel
+    row/col offset (ry, rx) = (p + dy, q + dx) of the 4x4 stride-2 window
+    anchored at (2I - 1, 2J - 1)."""
+    T = np.zeros((3, 3, 4, 4, 4), np.float32)
+    for p in range(2):
+        for q in range(2):
+            for dy in range(3):
+                for dx in range(3):
+                    T[dy, dx, p + dy, q + dx, p * 2 + q] = 1.0
+    return T
+
+
+def _fold_conv_direct(w) -> jnp.ndarray:
+    """[3, 3, cin, cout] full-res conv -> [4, 4, cin, 4*cout] stride-2 conv
+    over the UNPACKED input (pad (1, 1) per spatial dim).
+
+    Composes _pack_conv_weights with the identity packing: the packed-
+    lattice term conv2x2(pack_feature(x), w_packed) equals
+    conv4x4_stride2(pad(x, 1), w_direct) — output cell (I, J) phase (p, q)
+    = full-res pixel (2I+p, 2J+q), whose tap (dy, dx) reads pixel row
+    2I + p + dy - 1 = (window anchor 2I-1) + (p + dy). Folding skips
+    materializing the packed operand entirely — the pack op alone costs
+    7-13 ms per tensor at batch 128 (measured: pack_feature on
+    [128,240,320,64] = 12.7 ms; the whole packed tail is 93 ms)."""
+    w = jnp.asarray(w, jnp.float32)
+    cin, cout = w.shape[2], w.shape[3]
+    T = jnp.asarray(_direct_scatter_tensor())
+    wd = jnp.einsum("yxio,yxrsv->rsivo", w, T)
+    return wd.reshape(4, 4, cin, 4 * cout)
+
+
+def _conv_skip_direct(x: jnp.ndarray, w_direct: jnp.ndarray, dtype,
+                      acc_t) -> jnp.ndarray:
+    """Stride-2 4x4 conv computing the skip/image term of a packed stage
+    directly from the unpacked tensor (see _fold_conv_direct)."""
+    return jax.lax.conv_general_dilated(
+        x.astype(dtype), w_direct.astype(dtype), (2, 2),
+        [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=acc_t)
+
+
 def _pack_identity_kernel(c: int) -> np.ndarray:
     """[2, 2, c, 4c] identity strided-conv kernel: s2d of a padded tensor,
     output channel order phase-major (a*2+b)*c + ch."""
@@ -137,8 +180,8 @@ def fold_packed_tail(w_raw, bn_scale, bn_bias, bn_mean, bn_var,
     cout = w_raw.shape[3]
     cin_fm = w_raw.shape[2] - 3
     w_fm = _pack_conv_weights(w_raw[:, :, :cin_fm, :])
-    # the rgb packed conv's input is the 12-channel packed image directly
-    w_im = _pack_conv_weights(w_raw[:, :, cin_fm:, :])
+    # rgb term: direct stride-2 conv over the image (no packed image)
+    w_im = _fold_conv_direct(w_raw[:, :, cin_fm:, :])
 
     inv = jax.lax.rsqrt(jnp.asarray(bn_var, jnp.float32) + eps)
     scale = jnp.asarray(bn_scale, jnp.float32) * inv
@@ -171,7 +214,12 @@ def phase_upsample_packed(fm: jnp.ndarray, ah: jnp.ndarray, aw: jnp.ndarray,
     Two einsums total: the row/column phase axes ride in the channel
     position of the intermediates ((a, c) then (a, B, c) minor), so the
     minor dims grow 32 -> 64 -> 128 instead of six separate c=32 kernels
-    plus a concat of lane-padded operands."""
+    plus a concat of lane-padded operands. A two-tap shift+lerp
+    formulation (the upsample only ever reads source rows K-1, K — see
+    git history) was tried and REFUTED: 51.7 ms vs 17.5 ms for the raw
+    stage at b128, because its phase-split intermediates put c=32 in the
+    minor dim and relayout; the dense matmul pays an in_size-wide
+    contraction but keeps every intermediate 64/128-lane aligned."""
     b, h2, w2, c = fm.shape
     fm = fm.astype(dtype)
     ah = ah.astype(dtype)
@@ -225,7 +273,7 @@ class PackedStageParams(NamedTuple):
     ah: jnp.ndarray       # [2, h/2+1, h/2] shifted-phase h-interp matrices
     aw: jnp.ndarray       # [2, w/2+1, w/2] shifted-phase w-interp
     w_fm: jnp.ndarray     # [2, 2, 4*c_fm, 4*cout] packed conv (decoder fm)
-    w_skip: jnp.ndarray   # [2, 2, 4*c_skip, 4*cout] packed conv (skip)
+    w_skip: jnp.ndarray   # [4, 4, c_skip, 4*cout] direct stride-2 conv
     scale4: jnp.ndarray   # [4*cout] phase-tiled BN scale
     bias4: jnp.ndarray    # [4*cout] phase-tiled BN bias
 
@@ -244,7 +292,7 @@ def fold_packed_stage(w, bn_scale, bn_bias, bn_mean, bn_var,
     """
     w = jnp.asarray(w, jnp.float32)
     w_fm = _pack_conv_weights(w[:, :, :c_fm, :])
-    w_skip = _pack_conv_weights(w[:, :, c_fm:, :])
+    w_skip = _fold_conv_direct(w[:, :, c_fm:, :])
 
     inv = jax.lax.rsqrt(jnp.asarray(bn_var, jnp.float32) + eps)
     scale = jnp.asarray(bn_scale, jnp.float32) * inv
@@ -289,16 +337,13 @@ def run_packed_stage(fm: jnp.ndarray, skip: jnp.ndarray,
         up = phase_upsample_from_packed(fm, cp.ah, cp.aw, dtype)
     else:
         up = phase_upsample_packed(fm, cp.ah, cp.aw, dtype)
-    sk = pack_feature(skip, dtype)                       # [b,hc+1,wc+1,4cs]
     acc_t = jnp.float32 if dtype == jnp.float32 else dtype
     y = jax.lax.conv_general_dilated(
         up, cp.w_fm.astype(dtype), (1, 1), [(0, 0), (0, 0)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=acc_t)
-    y = y + jax.lax.conv_general_dilated(
-        sk, cp.w_skip.astype(dtype), (1, 1), [(0, 0), (0, 0)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=acc_t)                     # [b,h4,w4,4*cout]
+    # skip term reads the unpacked skip directly (see _fold_conv_direct)
+    y = y + _conv_skip_direct(skip, cp.w_skip, dtype, acc_t)  # [b,h4,w4,4co]
     y = y * cp.scale4.astype(acc_t) + cp.bias4.astype(acc_t)
     y = jnp.where(y > 0, y, jnp.asarray(alpha, acc_t) * y)
     return y.astype(dtype)
@@ -327,7 +372,6 @@ def run_packed_tail(fm: jnp.ndarray, image: jnp.ndarray,
         up = phase_upsample_from_packed(fm, tp.ah, tp.aw, dtype)
     else:
         up = phase_upsample_packed(fm, tp.ah, tp.aw, dtype)  # [b,h2+1,w2+1,4c]
-    xp = pack_image(image, dtype)                           # [b,h2+1,w2+1,12]
 
     # accumulate in f32 (MXU default for bf16 inputs) but emit the compute
     # dtype: the f32 [b, h2, w2, 4c] round trip costs a full extra pass
@@ -336,10 +380,8 @@ def run_packed_tail(fm: jnp.ndarray, image: jnp.ndarray,
         up, tp.w_fm.astype(dtype), (1, 1), [(0, 0), (0, 0)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=acc_t)
-    y = y + jax.lax.conv_general_dilated(
-        xp, tp.w_im.astype(dtype), (1, 1), [(0, 0), (0, 0)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=acc_t)                       # [b,h2,w2,4c]
+    # rgb term reads the image directly (see _fold_conv_direct)
+    y = y + _conv_skip_direct(image, tp.w_im, dtype, acc_t)  # [b,h2,w2,4c]
 
     y = y * tp.scale4.astype(acc_t) + tp.bias4.astype(acc_t)
     y = jnp.where(y > 0, y, jnp.asarray(alpha, acc_t) * y)

@@ -97,15 +97,15 @@ def main():
         t_img = timeit_chained(img_step, image, args.iters)
         print(f"pack_image:           {t_img*1e3:8.2f} ms", flush=True)
 
-    xp = jax.jit(pt.pack_image)(image) if "conv" in pieces else None
-
     def conv_step(u):
         y = jax.lax.conv_general_dilated(
             u, tp.w_fm.astype(u.dtype), (1, 1), [(0, 0), (0, 0)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.float32)
+        # rgb term: direct stride-2 conv over the image (w_im [4,4,3,4c])
         y = y + jax.lax.conv_general_dilated(
-            xp, tp.w_im.astype(xp.dtype), (1, 1), [(0, 0), (0, 0)],
+            image.astype(u.dtype), tp.w_im.astype(u.dtype), (2, 2),
+            [(1, 1), (1, 1)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.float32)
         y = y * tp.scale4 + tp.bias4
