@@ -9,4 +9,5 @@ slice and DCN across slices.
 """
 
 from pvnet_tpu.parallel.mesh import (  # noqa: F401
-    make_mesh, batch_sharding, replicated_sharding, shard_batch, replicate)
+    make_mesh, batch_sharding, replicated_sharding, shard_batch, replicate,
+    make_global_mesh, shard_batch_global, replicate_global)

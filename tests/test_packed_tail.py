@@ -194,3 +194,40 @@ class TestDepth3:
         pose, kps = run(variables, x, jax.random.PRNGKey(0))
         assert pose.shape == (2, 3, 4)
         assert np.isfinite(np.asarray(kps)).all()
+
+
+class TestFoldConvDirect:
+    """The skip/image term algebra: conv2x2(pack_feature(x), packed_w) ==
+    conv4x4_stride2(pad(x, 1), _fold_conv_direct(w)) — the identity that
+    lets run_packed_stage/run_packed_tail skip materializing the packed
+    operand (its pack op alone cost 7-13 ms/tensor at batch 128)."""
+
+    def test_direct_equals_pack_then_conv(self):
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.randn(2, 12, 16, 5).astype(np.float32))
+        w = jnp.asarray(rng.randn(3, 3, 5, 4).astype(np.float32))
+        wp = pt._pack_conv_weights(w)                  # [2,2,20,16]
+        xp = pt.pack_feature(x, dtype=jnp.float32)     # [2,7,9,20]
+        ref = jax.lax.conv_general_dilated(
+            xp, wp, (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        wd = pt._fold_conv_direct(w)                   # [4,4,5,16]
+        got = pt._conv_skip_direct(x, wd, jnp.float32, jnp.float32)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_direct_term_matches_full_conv_semantics(self):
+        # the packed term must equal the full-res 3x3 SAME conv, packed
+        rng = np.random.RandomState(4)
+        x = jnp.asarray(rng.randn(1, 8, 10, 3).astype(np.float32))
+        w = jnp.asarray(rng.randn(3, 3, 3, 2).astype(np.float32))
+        full = jax.lax.conv_general_dilated(
+            x, w, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))  # [1,8,10,2]
+        got = pt._conv_skip_direct(x, pt._fold_conv_direct(w),
+                                   jnp.float32, jnp.float32)  # [1,4,5,8]
+        b, hc, wc, c4 = got.shape
+        unpacked = got.reshape(b, hc, wc, 2, 2, 2).transpose(
+            0, 1, 3, 2, 4, 5).reshape(b, 8, 10, 2)
+        np.testing.assert_allclose(np.asarray(full), np.asarray(unpacked),
+                                   rtol=1e-5, atol=1e-5)
