@@ -73,6 +73,75 @@ def _shifted_phase_matrices(out_size: int, in_size: int) -> np.ndarray:
     return out
 
 
+def _concrete(a):
+    """numpy view of a trace-time-constant array, or None for tracers."""
+    try:
+        return np.asarray(a)
+    except Exception:
+        return None
+
+
+def _blocked_weights_dense(A: np.ndarray, O: int):
+    """Blocked weights for an UNPACKED source axis: W [G, 2, O, O+1] with
+    W[g, a, j, t] = A[a, g*O+j, g*O-1+t] (zero out of range), plus the
+    tail-row weights wt [2] = A[:, h2, h2-1]. See _blocked_phase_weights
+    for why blocking."""
+    two, n, h2 = A.shape
+    G = h2 // O
+    W = np.zeros((G, 2, O, O + 1), np.float32)
+    for g in range(G):
+        for a in range(2):
+            for j in range(O):
+                for t in range(O + 1):
+                    s = g * O - 1 + t
+                    if 0 <= s < h2:
+                        W[g, a, j, t] = A[a, g * O + j, s]
+    return W, A[:, h2, h2 - 1].astype(np.float32)
+
+
+def _pick_block(h2: int, cap: int = 16) -> int:
+    """Largest even divisor of h2 that is <= cap (0 if none)."""
+    for O in range(min(cap, h2) - min(cap, h2) % 2, 0, -2):
+        if h2 % O == 0:
+            return O
+    return 0
+
+
+def _blocked_phase_weights(A: np.ndarray, O: int):
+    """Group the banded shifted-phase matrix A [2, n, h2] into per-block
+    weights for a blocked banded matmul.
+
+    Output lattice row K only taps source rows K-1 and K, so a dense
+    einsum wastes an h2-wide contraction on 2 nonzeros (~17.5 ms for the
+    raw-stage upsample at b128, running at 81 TF/s — FLOP-bound on waste).
+    Splitting output rows into G groups of O rows bounds each group's
+    source window to O+1 rows, cutting the contraction ~h2/O-fold while
+    staying a matmul (layout-friendly; a pure two-tap shift+lerp was
+    refuted — see phase_upsample_packed). Returns (W1, W0, wt):
+      W1 [G, 2, O, O//2+1] — weights against ODD source rows
+        g*O - 1 + 2u (packed phase 1, cells g*O//2 - 1 + u),
+      W0 [G, 2, O, O//2]   — weights against EVEN source rows
+        g*O + 2u (packed phase 0, cells g*O//2 + u),
+      wt [2] — the single tail row K = h2 (taps source row h2-1)."""
+    two, n, h2 = A.shape
+    G = h2 // O
+    W1 = np.zeros((G, 2, O, O // 2 + 1), np.float32)
+    W0 = np.zeros((G, 2, O, O // 2), np.float32)
+    for g in range(G):
+        for a in range(2):
+            for j in range(O):
+                K = g * O + j
+                for u in range(O // 2 + 1):
+                    s = g * O - 1 + 2 * u
+                    if 0 <= s < h2:
+                        W1[g, a, j, u] = A[a, K, s]
+                for u in range(O // 2):
+                    s = g * O + 2 * u
+                    if 0 <= s < h2:
+                        W0[g, a, j, u] = A[a, K, s]
+    return W1, W0, A[:, h2, h2 - 1].astype(np.float32)
+
+
 def _pack_scatter_tensor() -> np.ndarray:
     """Constant [3, 3, 2, 2, 4, 4] scatter: T[dy, dx, ky, kx, ab, pq] = 1
     iff full-res tap (dy, dx) of output phase pq = (p*2+q) lands on lattice
@@ -221,6 +290,38 @@ def phase_upsample_packed(fm: jnp.ndarray, ah: jnp.ndarray, aw: jnp.ndarray,
     minor dim and relayout; the dense matmul pays an in_size-wide
     contraction but keeps every intermediate 64/128-lane aligned."""
     b, h2, w2, c = fm.shape
+    Ah, Aw = _concrete(ah), _concrete(aw)
+    Oh, Ow = _pick_block(h2), _pick_block(w2)
+    if Ah is not None and Aw is not None and Oh and Ow:
+        fm = fm.astype(dtype)
+        # H pass: [b, n, w2, a, c]
+        G = h2 // Oh
+        W1, wt = _blocked_weights_dense(Ah, Oh)
+        fp = jnp.pad(fm, ((0, 0), (1, 0), (0, 0), (0, 0)))  # row -1 zero
+        main = fp[:, :G * Oh].reshape(b, G, Oh, w2, c)
+        halo = fp[:, Oh::Oh][:, :G, None]                   # src row gO+O-1
+        S = jnp.concatenate([main, halo], axis=2)           # [b,G,O+1,w2,c]
+        hi = jnp.einsum("gajt,bgtwc->bgjwac",
+                        jnp.asarray(W1, dtype), S)
+        hi = hi.reshape(b, G * Oh, w2, 2, c)
+        tail = fm[:, -1:, :, None, :] * jnp.asarray(wt, dtype)[
+            None, None, None, :, None]
+        hi = jnp.concatenate([hi, tail], axis=1)            # [b,n,w2,a,c]
+        # W pass: [b, n, m, a, B, c]
+        n = h2 + 1
+        Gw = w2 // Ow
+        V1, vt = _blocked_weights_dense(Aw, Ow)
+        hp = jnp.pad(hi, ((0, 0), (0, 0), (1, 0), (0, 0), (0, 0)))
+        mainw = hp[:, :, :Gw * Ow].reshape(b, n, Gw, Ow, 2, c)
+        halow = hp[:, :, Ow::Ow][:, :, :Gw, None]
+        Sw = jnp.concatenate([mainw, halow], axis=3)        # [b,n,G,O+1,a,c]
+        up = jnp.einsum("gBLt,bngtac->bngLaBc",
+                        jnp.asarray(V1, dtype), Sw)
+        up = up.reshape(b, n, Gw * Ow, 2, 2, c)
+        tailw = hi[:, :, -1:, :, None, :] * jnp.asarray(vt, dtype)[
+            None, None, None, None, :, None]
+        up = jnp.concatenate([up, tailw], axis=2)           # [b,n,m,a,B,c]
+        return up.reshape(b, n, w2 + 1, 4 * c)
     fm = fm.astype(dtype)
     ah = ah.astype(dtype)
     aw = aw.astype(dtype)
@@ -259,6 +360,49 @@ def phase_upsample_from_packed(fmp: jnp.ndarray, ah: jnp.ndarray,
     full-resolution rows still never materialize."""
     b, h4, w4, c4 = fmp.shape
     c = c4 // 4
+    h2, w2 = 2 * h4, 2 * w4
+    Ah, Aw = _concrete(ah), _concrete(aw)
+    Oh, Ow = _pick_block(h2), _pick_block(w2)
+    if Ah is not None and Aw is not None and Oh and Ow:
+        t = fmp.astype(dtype).reshape(b, h4, w4, 2, 2, c)
+        # --- H pass: [b, n, X, px, a, c]
+        G = h2 // Oh
+        W1, W0, wt = _blocked_phase_weights(Ah, Oh)
+        py0 = t[:, :, :, 0]                     # [b,h4,w4,px,c] even rows
+        py1 = t[:, :, :, 1]                     # odd rows
+        p1p = jnp.pad(py1, ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))
+        m1 = p1p[:, :G * (Oh // 2)].reshape(b, G, Oh // 2, w4, 2, c)
+        h1 = p1p[:, Oh // 2::Oh // 2][:, :G, None]
+        S1 = jnp.concatenate([m1, h1], axis=2)  # [b,G,O/2+1,w4,px,c]
+        S0 = py0.reshape(b, G, Oh // 2, w4, 2, c)
+        hi = (jnp.einsum("gaju,bguXxc->bgjXxac", jnp.asarray(W1, dtype), S1)
+              + jnp.einsum("gaju,bguXxc->bgjXxac", jnp.asarray(W0, dtype),
+                           S0))
+        hi = hi.reshape(b, G * Oh, w4, 2, 2, c)
+        wt_j = jnp.asarray(wt, dtype)
+        tail = py1[:, -1:, :, :, None, :] * wt_j[None, None, None, None, :,
+                                                 None]
+        hi = jnp.concatenate([hi, tail], axis=1)  # [b,n,w4,px,a,c]
+        n = h2 + 1
+        # --- W pass: [b, n, m, a, B, c]
+        Gw = w2 // Ow
+        V1, V0, vt = _blocked_phase_weights(Aw, Ow)
+        px0 = hi[:, :, :, 0]                    # [b,n,w4,a,c]
+        px1 = hi[:, :, :, 1]
+        q1p = jnp.pad(px1, ((0, 0), (0, 0), (1, 0), (0, 0), (0, 0)))
+        mw1 = q1p[:, :, :Gw * (Ow // 2)].reshape(b, n, Gw, Ow // 2, 2, c)
+        hw1 = q1p[:, :, Ow // 2::Ow // 2][:, :, :Gw, None]
+        T1 = jnp.concatenate([mw1, hw1], axis=3)
+        T0 = px0.reshape(b, n, Gw, Ow // 2, 2, c)
+        up = (jnp.einsum("gBLu,bngusc->bngLsBc", jnp.asarray(V1, dtype), T1)
+              + jnp.einsum("gBLu,bngusc->bngLsBc", jnp.asarray(V0, dtype),
+                           T0))
+        up = up.reshape(b, n, Gw * Ow, 2, 2, c)
+        vt_j = jnp.asarray(vt, dtype)
+        tailw = px1[:, :, -1:, :, None, :] * vt_j[None, None, None, None, :,
+                                                  None]
+        up = jnp.concatenate([up, tailw], axis=2)
+        return up.reshape(b, n, w2 + 1, 4 * c)
     fmr = fmp.astype(dtype).reshape(b, h4, w4, 2, 2, c)
     ah_r = ah.astype(dtype).reshape(2, ah.shape[1], h4, 2)
     aw_r = aw.astype(dtype).reshape(2, aw.shape[1], w4, 2)

@@ -50,6 +50,9 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--no-bf16", dest="bf16", action="store_false",
                     default=True)
+    ap.add_argument("--tail_depth", type=int, default=0, choices=(0, 1, 2, 3),
+                    help="also profile the packed-lattice pipeline at this "
+                         "depth (0 = plain only)")
     args = ap.parse_args()
 
     from pvnet_tpu.utils.cache import enable_compilation_cache
@@ -122,6 +125,23 @@ def main():
     print(f"fused_pipeline:   {t_full * 1e3:8.2f} ms/batch "
           f"({b / t_full:7.1f} poses/s)")
     print(f"stage_sum:        {(t_fwd + t_vote + t_pnp) * 1e3:8.2f} ms")
+
+    if args.tail_depth:
+        packed = pl_mod.make_pose_pipeline(
+            model.apply, pts3d, LINEMOD_K,
+            params=pl_mod.VoteParams(hyp_num=args.hyp_num,
+                                     max_num=args.max_num),
+            fused_tail=True, tail_depth=args.tail_depth)
+
+        def packed_step(carry):
+            img, k = carry
+            pose, kp = packed(variables, img, k)
+            return (img + pose[:, 0, 0, None, None, None] * 1e-12,
+                    jax.random.fold_in(k, 0))
+
+        t_packed = timeit_chained(packed_step, (image, key), args.iters)
+        print(f"packed_pipeline(d{args.tail_depth}): {t_packed * 1e3:6.2f} "
+              f"ms/batch ({b / t_packed:7.1f} poses/s)")
 
 
 if __name__ == "__main__":
