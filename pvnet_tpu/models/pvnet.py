@@ -122,7 +122,7 @@ class PVNet(nn.Module):
         (head_layout='NCHW' returns [b, c, h, w] model-dtype tensors
         instead; return_tail_features=True returns the raw-stage input
         [b, h, w, 64k] — decoder features ++ rgb, zero-padded to a
-        64-multiple — for the legacy Pallas tail, see ops/tail_kernel.py;
+        64-multiple;
         return_2s_features=True returns the 2s-stage activation
         [b, h/2, w/2, s2dim] *before* the final upsample — the packed
         inference tail's input, see ops/packed_tail.py;

@@ -33,8 +33,8 @@ consumes, so selection/voting/PnP run with no unpacking. Bit-for-bit
 equivalence with the plain path is limited only by float reassociation
 (tested to ~1e-5 in f32).
 
-This replaces the Pallas s2d im2col tail (ops/tail_kernel.py), which lost
-to plain XLA; here every op IS plain XLA on aligned shapes.
+This replaces an earlier Pallas s2d im2col tail (deleted), which measured
+0.7-0.9x of plain XLA; here every op IS plain XLA on aligned shapes.
 """
 from __future__ import annotations
 

@@ -275,7 +275,7 @@ def sample_foreground_packed(packed: jnp.ndarray, fgcnt: jnp.ndarray,
                              seg_dim: int = 2) -> ForegroundSample:
     """Stratified foreground sampling directly on an s2d-packed head field.
 
-    Consumes the fused inference tail's outputs (ops/tail_kernel.py):
+    Consumes the packed inference tail's outputs (ops/packed_tail.py):
     ``packed`` [b, HP, WP, 4*hout] holds the seg+ver head values of each
     2x2 full-resolution cell in depth, ``fgcnt`` [b, HP, WP] its
     foreground pixel count. Selection picks tn//4 cells on a phase grid
