@@ -38,6 +38,7 @@ This replaces an earlier Pallas s2d im2col tail (deleted), which measured
 """
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Tuple
 
 import jax
@@ -71,6 +72,14 @@ def _shifted_phase_matrices(out_size: int, in_size: int) -> np.ndarray:
             if 0 <= src < out_size:
                 out[a, r] = A[src]
     return out
+
+
+#: Opt-in for the blocked banded upsample matmuls below. The banded
+#: formulation cuts the contraction ~h2/O-fold but adds pads/concats and
+#: narrower matmuls — exactly the trade this backend has refuted before
+#: (CLAUDE.md: relayouts ~20-30 GB/s). Off until measured faster on TPU;
+#: set PVNET_BLOCKED_UPSAMPLE=1 (import time) or flip here to enable.
+BLOCKED_UPSAMPLE = os.environ.get("PVNET_BLOCKED_UPSAMPLE", "0") == "1"
 
 
 def _concrete(a):
@@ -292,7 +301,8 @@ def phase_upsample_packed(fm: jnp.ndarray, ah: jnp.ndarray, aw: jnp.ndarray,
     b, h2, w2, c = fm.shape
     Ah, Aw = _concrete(ah), _concrete(aw)
     Oh, Ow = _pick_block(h2), _pick_block(w2)
-    if Ah is not None and Aw is not None and Oh and Ow:
+    if BLOCKED_UPSAMPLE and Ah is not None and Aw is not None \
+            and Oh and Ow:
         fm = fm.astype(dtype)
         # H pass: [b, n, w2, a, c]
         G = h2 // Oh
@@ -363,7 +373,8 @@ def phase_upsample_from_packed(fmp: jnp.ndarray, ah: jnp.ndarray,
     h2, w2 = 2 * h4, 2 * w4
     Ah, Aw = _concrete(ah), _concrete(aw)
     Oh, Ow = _pick_block(h2), _pick_block(w2)
-    if Ah is not None and Aw is not None and Oh and Ow:
+    if BLOCKED_UPSAMPLE and Ah is not None and Aw is not None \
+            and Oh and Ow:
         t = fmp.astype(dtype).reshape(b, h4, w4, 2, 2, c)
         # --- H pass: [b, n, X, px, a, c]
         G = h2 // Oh
