@@ -83,22 +83,8 @@ def load_weights(model, image, ckpt_path):
             "batch_stats": restored["batch_stats"]}, "trained-synthetic"
 
 
-def timeit_chained(step_fn, init_carry, iters):
-    """Chained-scan timing (see CLAUDE.md: independent dispatches through
-    the async tunnel get memoized; the carry must flow real data)."""
-    @jax.jit
-    def run(carry):
-        def body(c, _):
-            return step_fn(c), None
-        out, _ = jax.lax.scan(body, carry, None, length=iters)
-        return out
 
-    out = run(init_carry)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    out = run(init_carry)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+from pvnet_tpu.utils.benchlib import timeit_chained
 
 
 def main():

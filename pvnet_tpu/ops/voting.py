@@ -926,7 +926,7 @@ def ransac_voting_v4(mask: jnp.ndarray, vertex: jnp.ndarray, key: jax.Array,
 def ransac_voting_multiclass(mask: jnp.ndarray, vertex: jnp.ndarray,
                              key: jax.Array, class_num: int,
                              hyp_num: int = 1024,
-                             inlier_thresh: float = 0.99,
+                             inlier_thresh: Optional[float] = None,
                              max_num: int = 1024, min_num: int = 5,
                              refine_iter_num: Optional[int] = None,
                              impl: Optional[str] = None) -> jnp.ndarray:
@@ -940,9 +940,13 @@ def ransac_voting_multiclass(mask: jnp.ndarray, vertex: jnp.ndarray,
       refine_iter_num: None = one WLS refine (v3, matching the reference's
         plain ransac_voting_layer + its final fit); an integer selects the
         v2 form with that many re-vote + refit rounds (ref :99-215).
+      inlier_thresh: None picks each form's reference default — 0.99 for
+        the v3 form (ref :30) and 0.999 for v2 (ref :99).
     Returns:
       [b, class_num - 1, vn, 2].
     """
+    if inlier_thresh is None:
+        inlier_thresh = 0.99 if refine_iter_num is None else 0.999
     outs = []
     for c in range(1, class_num):
         key, sub = jax.random.split(key)

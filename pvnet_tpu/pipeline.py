@@ -152,7 +152,8 @@ def make_pose_pipeline(apply_fn, points_3d, K,
                        uncertainty: bool = False,
                        impl: Optional[str] = None,
                        fused_tail: bool = False,
-                       tail_depth: int = 1):
+                       tail_depth: int = 1,
+                       tail_dtype=jnp.bfloat16):
     """Build the fully fused image->pose function.
 
     Returns f(variables, image [b,h,w,3], key) -> (pose [b,3,4],
@@ -174,7 +175,7 @@ def make_pose_pipeline(apply_fn, points_3d, K,
         from pvnet_tpu.ops import voting
         k0, k1, k2 = jax.random.split(key, 3)
         fg = fused_tail_foreground(apply_fn, variables, image,
-                                   params.max_num, k0,
+                                   params.max_num, k0, dtype=tail_dtype,
                                    tail_depth=tail_depth)
         kps = voting.ransac_voting_v3_from_fg(
             fg, k1, hyp_num=params.hyp_num,
@@ -208,7 +209,8 @@ def make_sharded_pose_pipeline(mesh, apply_fn, points_3d, K,
                                uncertainty: bool = False,
                                impl: Optional[str] = None,
                                fused_tail: bool = False,
-                               tail_depth: int = 1):
+                               tail_depth: int = 1,
+                               tail_dtype=jnp.bfloat16):
     """Data-parallel fused inference over a device mesh.
 
     Variables replicated, images split on dim 0 over the 'data' axis —
@@ -221,6 +223,6 @@ def make_sharded_pose_pipeline(mesh, apply_fn, points_3d, K,
     data = NamedSharding(mesh, P("data"))
     run = make_pose_pipeline(apply_fn, points_3d, K, params, uncertainty,
                              impl, fused_tail=fused_tail,
-                             tail_depth=tail_depth)
+                             tail_depth=tail_depth, tail_dtype=tail_dtype)
     return jax.jit(run, in_shardings=(repl, data, repl),
                    out_shardings=(data, data))

@@ -298,7 +298,7 @@ class TrainLoop:
                     k0, k1, k2 = jax.random.split(rngkey, 3)
                     fg = pl_mod.fused_tail_foreground(
                         self.model.apply, variables, image, params.max_num,
-                        k0, tail_depth=tail_depth)
+                        k0, dtype=self.model.dtype, tail_depth=tail_depth)
                     kps = voting.ransac_voting_v3_from_fg(
                         fg, k1, hyp_num=params.hyp_num,
                         inlier_thresh=params.inlier_thresh,

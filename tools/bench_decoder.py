@@ -19,22 +19,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def timeit_chained(step_fn, init_carry, iters=10):
-    import jax
 
-    @jax.jit
-    def run(carry):
-        def body(c, _):
-            return step_fn(c), None
-        out, _ = jax.lax.scan(body, carry, None, length=iters)
-        return out
-
-    out = run(init_carry)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    out = run(init_carry)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+from pvnet_tpu.utils.benchlib import timeit_chained
 
 
 def main():

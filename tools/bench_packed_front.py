@@ -32,25 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit_chained(step_fn, x, iters=20):
-    @jax.jit
-    def run(x0):
-        def body(c, _):
-            y = step_fn(c)
-            s = 1 + 1e-12 * y.astype(jnp.float32).mean()
-            return (c * s).astype(c.dtype), None
-        out, _ = jax.lax.scan(body, x0, None, length=iters)
-        return out
 
-    out = run(x)
-    jax.block_until_ready(out)
-    perturbed = jax.tree.map(
-        lambda t: t * (1 + 1e-6) if jnp.issubdtype(t.dtype, jnp.floating)
-        else t, x)
-    t0 = time.perf_counter()
-    out = run(perturbed)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+from pvnet_tpu.utils.benchlib import timeit_op as timeit_chained
 
 
 def conv(x, w, stride=1, pad="SAME"):

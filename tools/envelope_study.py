@@ -51,7 +51,7 @@ def main():
     db = LineModImageDB(args.cls, has_render_set=False, has_fuse_set=False,
                         paths=paths)
     test_db = db.test_real_set
-    _, loader = loop.make_loaders(test_db, test_db, paths.linemod_dir,
+    loader = loop.make_val_loader(test_db, paths.linemod_dir,
                                   args.num_threads)
 
     rows = []

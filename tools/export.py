@@ -43,7 +43,8 @@ def build_exported(model, variables, points_3d, K, batch, height, width,
                              params=vote_params or VoteParams(),
                              uncertainty=uncertainty,
                              fused_tail=fused_tail,
-                             tail_depth=tail_depth)
+                             tail_depth=tail_depth,
+                             tail_dtype=model.dtype)
 
     def serve(images, seed):
         key = jax.random.PRNGKey(seed)

@@ -117,7 +117,8 @@ def main():
     run = pl_mod.make_sharded_pose_pipeline(
         mesh, model.apply, pts3d, K, params=params,
         uncertainty=args.uncertainty,
-        fused_tail=args.tail_depth > 0, tail_depth=args.tail_depth)
+        fused_tail=args.tail_depth > 0, tail_depth=args.tail_depth,
+        tail_dtype=model.dtype)
 
     def load_image(path):
         img = np.array(Image.open(path).convert("RGB"), np.float32) / 255.0

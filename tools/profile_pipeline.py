@@ -17,27 +17,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def timeit_chained(step_fn, init_carry, iters=10):
-    """Time ``iters`` sequential applications of step_fn inside one jitted
-    lax.scan with a data-dependent carry — the only reliable way to time a
-    stage through the async axon tunnel (independent dispatches get
-    memoized/elided; block_until_ready alone under-reports).
-    step_fn(carry) -> carry must flow real data."""
-    import jax
 
-    @jax.jit
-    def run(carry):
-        def body(c, _):
-            return step_fn(c), None
-        out, _ = jax.lax.scan(body, carry, None, length=iters)
-        return out
-
-    out = run(init_carry)             # compile + warm
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    out = run(init_carry)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+from pvnet_tpu.utils.benchlib import timeit_chained
 
 
 def main():
@@ -131,7 +112,8 @@ def main():
             model.apply, pts3d, LINEMOD_K,
             params=pl_mod.VoteParams(hyp_num=args.hyp_num,
                                      max_num=args.max_num),
-            fused_tail=True, tail_depth=args.tail_depth)
+            fused_tail=True, tail_depth=args.tail_depth,
+            tail_dtype=model.dtype)
 
         def packed_step(carry):
             img, k = carry

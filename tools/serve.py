@@ -45,22 +45,33 @@ class PoseBatcher:
     """Micro-batching wrapper around the exported fn."""
 
     def __init__(self, fn, batch: int, height: int, width: int,
-                 max_wait_ms: float = 10.0):
+                 max_wait_ms: float = 10.0, request_timeout: float = 600.0):
         self.fn = fn
         self.batch, self.h, self.w = batch, height, width
         self.max_wait = max_wait_ms / 1e3
+        self.request_timeout = request_timeout
         self.q: "queue.Queue" = queue.Queue()
         self.seed = 0
         self._stop = False
         self.thread = threading.Thread(target=self._loop, daemon=True)
         self.thread.start()
 
-    def infer(self, image: np.ndarray, timeout: float = 60.0):
+    def warmup(self):
+        """Run one batched call before accepting traffic: the first
+        dispatch compiles (minutes on a cold cache through the TPU
+        tunnel) and would otherwise burn the first requests' timeout."""
+        import jax.numpy as jnp
+        t0 = time.monotonic()
+        self.fn.call(jnp.zeros((self.batch, self.h, self.w, 3), jnp.float32),
+                     jnp.int32(0))
+        return time.monotonic() - t0
+
+    def infer(self, image: np.ndarray, timeout: float = None):
         """image: [h, w, 3] float32 (normalized). Returns (pose, kps)."""
         done = threading.Event()
         slot = {}
         self.q.put((image, slot, done))
-        if not done.wait(timeout):
+        if not done.wait(self.request_timeout if timeout is None else timeout):
             raise TimeoutError("inference timed out")
         if "error" in slot:
             raise RuntimeError(slot["error"])
@@ -121,8 +132,17 @@ def decode_image(body: bytes, content_type: str, h: int, w: int,
     arr = np.asarray(arr)
     if arr.shape[:2] != (h, w):
         from PIL import Image
-        arr = np.asarray(Image.fromarray(
-            arr.astype(np.uint8)).resize((w, h), Image.BILINEAR))
+        if np.issubdtype(arr.dtype, np.floating):
+            # already-normalized floats: resize per channel in 'F' mode —
+            # a uint8 cast would wrap negatives/fractions into garbage
+            arr = np.stack([
+                np.asarray(Image.fromarray(
+                    arr[..., ch].astype(np.float32), mode="F").resize(
+                        (w, h), Image.BILINEAR))
+                for ch in range(arr.shape[-1])], axis=-1)
+        else:
+            arr = np.asarray(Image.fromarray(
+                arr.astype(np.uint8)).resize((w, h), Image.BILINEAR))
     arr = arr.astype(np.float32)
     if normalized:
         return arr
@@ -191,6 +211,8 @@ def serve(export_dir: str, host: str = "0.0.0.0", port: int = 8400,
     fn, manifest = load_artifact(export_dir)
     batcher = PoseBatcher(fn, manifest["batch"], manifest["height"],
                           manifest["width"], max_wait_ms)
+    dt = batcher.warmup()
+    print(f"warmup compile: {dt:.1f}s", flush=True)
     httpd = ThreadingHTTPServer((host, port), make_handler(batcher, manifest))
     if started is not None:
         started.server = httpd                          # for tests
