@@ -42,6 +42,10 @@ def save_pickle(data, path):
 
 def read_rgb_np(path: str) -> np.ndarray:
     import cv2
+    from PIL import ImageFile
+    # tolerate truncated JPEGs like the reference (ref data_utils.py:25);
+    # cv2 already decodes what it can of a truncated file
+    ImageFile.LOAD_TRUNCATED_IMAGES = True
     img = cv2.imread(path, cv2.IMREAD_COLOR)   # faster decode than PIL
     if img is None:
         img = np.array(Image.open(path).convert("RGB"), np.uint8)

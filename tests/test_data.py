@@ -362,3 +362,19 @@ class TestFusedAug:
         s = ds[(0, 96, 96)]
         assert s.rgb.shape == (96, 96, 3)
         assert s.mask.sum() > 0
+
+
+def test_read_rgb_tolerates_truncated_jpeg(tmp_path):
+    # parity with the reference's ImageFile.LOAD_TRUNCATED_IMAGES=True
+    # (ref data_utils.py:25): a JPEG cut mid-stream still decodes
+    import io
+    from PIL import Image
+    from pvnet_tpu.data.linemod import read_rgb_np
+    img = (np.random.RandomState(0).rand(48, 64, 3) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG")
+    data = buf.getvalue()
+    p = tmp_path / "trunc.jpg"
+    p.write_bytes(data[:len(data) * 2 // 3])
+    out = read_rgb_np(str(p))
+    assert out.shape == (48, 64, 3) and out.dtype == np.uint8
