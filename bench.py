@@ -33,7 +33,8 @@ CKPT_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "assets", "duck_ckpt.msgpack")
 
 
-def build_inputs(batch: int, h: int, w: int, seed: int = 0):
+def build_inputs(batch: int, h: int, w: int, seed: int = 0,
+                 uint8: bool = False):
     """Rendered synthetic eval views, ImageNet-normalized.
 
     A few distinct base renders (z-buffer rasterizer, occluders included)
@@ -52,16 +53,22 @@ def build_inputs(batch: int, h: int, w: int, seed: int = 0):
     K[0] *= w / 640.0
     K[1] *= h / 480.0
     n_base = min(batch, 8)
-    base = []
+    base, raw_base = [], []
     for _ in range(n_base):
         pose = sample_object_pose(rng)
         dist = sample_distractors(pose, rng, dmeshes, occluder_prob=0.3,
                                   max_clutter=1)
         rgb, _ = render_synthetic_view(mesh, pose, K, h, w, rng,
                                        distractors=dist)
+        raw_base.append(rgb)
         base.append((rgb.astype(np.float32) / 255.0 - IMAGENET_MEAN)
                     / IMAGENET_STD)
     reps = -(-batch // n_base)
+    if uint8:
+        raw = np.tile(np.stack(raw_base), (reps, 1, 1, 1))[:batch]
+        jit = rng.randint(-3, 4, (batch, 1, 1, 1))
+        return jnp.asarray(np.clip(raw.astype(np.int16) + jit, 0,
+                                   255).astype(np.uint8))
     images = np.tile(np.stack(base), (reps, 1, 1, 1))[:batch]
     images += rng.randn(batch, 1, 1, 1).astype(np.float32) * 0.01
     return jnp.asarray(images)
@@ -110,6 +117,11 @@ def main():
                     help="with --fused_tail: 2 also packs the 2s decoder "
                          "stage, 3 the 4s stage too "
                          "(ops/packed_tail.run_packed_stage)")
+    ap.add_argument("--packed_stem", action="store_true", default=False,
+                    help="stem conv on the s2d-packed uint8 image "
+                         "(models/resnet.py stem='packed4'): the timed "
+                         "input is raw uint8, pack+normalize run on "
+                         "device inside the program")
     ap.add_argument("--bf16", action="store_true", default=True)
     ap.add_argument("--no-bf16", dest="bf16", action="store_false")
     args = ap.parse_args()
@@ -126,10 +138,23 @@ def main():
     from pvnet_tpu.config import LINEMOD_K
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    stem = "packed4" if args.packed_stem else "conv7"
     model = build_model("resnet18_8s", ver_dim=18, seg_dim=2, dtype=dtype,
-                        head_layout="NCHW")
-    image = build_inputs(args.batch, args.height, args.width)
-    variables, weights_kind = load_weights(model, image, args.checkpoint)
+                        head_layout="NCHW", stem=stem)
+    if args.packed_stem:
+        # checkpoints are conv7-trained: load via a conv7 template, fold
+        from pvnet_tpu.models.resnet import fold_stem_params
+        m7 = build_model("resnet18_8s", ver_dim=18, seg_dim=2, dtype=dtype,
+                         head_layout="NCHW")
+        probe = jnp.zeros((1, args.height, args.width, 3), jnp.float32)
+        v7, weights_kind = load_weights(m7, probe, args.checkpoint)
+        variables = jax.device_put(fold_stem_params(v7))
+        image = build_inputs(args.batch, args.height, args.width,
+                             uint8=True)
+    else:
+        image = build_inputs(args.batch, args.height, args.width)
+        variables, weights_kind = load_weights(model, image,
+                                               args.checkpoint)
 
     points_3d = np.loadtxt(
         "/root/reference/data/demo/cat_points_3d.txt").astype(np.float32)
@@ -137,7 +162,8 @@ def main():
     params = VoteParams()   # production envelope (see VoteParams doc)
     pipeline = make_pose_pipeline(
         model.apply, points_3d, LINEMOD_K, params=params,
-        fused_tail=args.fused_tail, tail_depth=args.tail_depth)
+        fused_tail=args.fused_tail, tail_depth=args.tail_depth,
+        raw_uint8=args.packed_stem)
     run = jax.jit(pipeline)
 
     key = jax.random.PRNGKey(1)
@@ -163,10 +189,13 @@ def main():
         "batch": args.batch,
         "fused_tail": bool(args.fused_tail),
         "tail_depth": args.tail_depth if args.fused_tail else 0,
+        "packed_stem": bool(args.packed_stem),
     }
 
     if args.stages:
         b = args.batch
+        if args.packed_stem:
+            image = jax.jit(pl_mod.normalize_packed_u8)(image)
         fwd = lambda v, x: pl_mod.predict_fields(model.apply, v, x)
 
         def fcn_step(img):

@@ -107,6 +107,7 @@ class PVNet(nn.Module):
     raw_dim: int = 32
     dtype: Any = jnp.float32
     head_layout: str = "NHWC"
+    stem: str = "conv7"          # 'packed4' = stem conv on s2d-packed rgb
 
     @nn.compact
     def __call__(self, x, train: bool = False,
@@ -134,12 +135,18 @@ class PVNet(nn.Module):
         x2s) for the depth-3 packed path,
         packed_tail.packed_tail_deep3_from_variables.)
         """
-        b, h, w, _ = x.shape
+        packed_in = x.shape[-1] == 12    # pre-packed rgb (stem='packed4')
+        if packed_in:
+            b, h2, w2, _ = x.shape
+            h, w = 2 * h2, 2 * w2
+        else:
+            b, h, w, _ = x.shape
         x_in = x.astype(self.dtype)
 
         backbone = ResNetBackbone(block=self.block,
                                   stage_sizes=self.stage_sizes,
-                                  output_stride=8, dtype=self.dtype)
+                                  output_stride=8, dtype=self.dtype,
+                                  stem=self.stem)
         x2s, x4s, x8s, x16s, x32s = backbone(x_in, train=train)
 
         conv = partial(nn.Conv, dtype=self.dtype,
@@ -178,6 +185,9 @@ class PVNet(nn.Module):
         fm = upsample_bilinear_align_corners(fm, h, w)
 
         # raw head (ref :53-58)
+        if packed_in:
+            from pvnet_tpu.models.resnet import depth_to_space2
+            x_in = depth_to_space2(x_in)
         tail_in = jnp.concatenate([fm, x_in], axis=-1)
         if return_tail_features:
             cin = tail_in.shape[-1]

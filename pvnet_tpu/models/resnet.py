@@ -54,6 +54,72 @@ def batch_to_space(x: jnp.ndarray, d: int, batch: int) -> jnp.ndarray:
     return xs.reshape(batch, hs * d, ws * d, c)
 
 
+def space_to_depth2(x: jnp.ndarray) -> jnp.ndarray:
+    """[b, h, w, c] -> [b, h/2, w/2, 4c], packed channel (a*2+b)*c + ch
+    for row phase a, column phase b."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
+def depth_to_space2(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of space_to_depth2."""
+    b, h2, w2, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(b, h2, w2, 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, 2 * h2, 2 * w2, c)
+
+
+def fold_conv7_to_packed4(w7):
+    """Fold a 7x7/stride-2/pad-3 conv kernel [7, 7, cin, cout] into the
+    equivalent 4x4/stride-1 kernel [4, 4, 4*cin, cout] over the
+    space_to_depth2-packed input (padding [(2, 1), (2, 1)]).
+
+    Output pixel (oy, ox) of the stride-2 conv reads input rows
+    2oy + dy - 3, dy in [0, 7); on the packed lattice that row is cell
+    oy + ky - 2 phase a with dy = 2ky + a - 1 — so each full-res tap has
+    exactly one packed slot and the two kernels compute the same sums
+    (the packed form carries 2 extra zero taps per axis). Enables the
+    stem on a lane-friendly 12-channel input instead of the 3-channel
+    image XLA runs at ~1/3 speed (tools/bench_packed_front.py:
+    8.6 -> 3.3 ms at b16 480x640)."""
+    import numpy as np
+    w7 = np.asarray(w7)
+    kh, kw, cin, cout = w7.shape
+    assert (kh, kw) == (7, 7), w7.shape
+    w4 = np.zeros((4, 4, 4 * cin, cout), w7.dtype)
+    for ky in range(4):
+        for a in range(2):
+            dy = 2 * ky + a - 1
+            if not 0 <= dy < 7:
+                continue
+            for kx in range(4):
+                for bb in range(2):
+                    dx = 2 * kx + bb - 1
+                    if not 0 <= dx < 7:
+                        continue
+                    ch = (a * 2 + bb) * cin
+                    w4[ky, kx, ch:ch + cin] = w7[dy, dx]
+    return w4
+
+
+def fold_stem_params(tree):
+    """Map a conv7-stem variables/params pytree onto the packed4-stem
+    model: every [7, 7, 3, cout] kernel (only the stem conv has that
+    shape) is folded via fold_conv7_to_packed4; everything else is
+    shared unchanged. Use to load conv7-trained checkpoints (or
+    ImageNet-converted backbones) into stem='packed4' models."""
+    import flax
+    flat = flax.traverse_util.flatten_dict(tree)
+    out = {}
+    for k, leaf in flat.items():
+        if (k[-1] == "kernel" and hasattr(leaf, "shape")
+                and leaf.shape[:3] == (7, 7, 3)):
+            leaf = jnp.asarray(fold_conv7_to_packed4(leaf))
+        out[k] = leaf
+    return flax.traverse_util.unflatten_dict(out)
+
+
 class BasicBlock(nn.Module):
     """Two 3x3 convs + identity shortcut (ref resnet.py:41-70)."""
     filters: int
@@ -139,6 +205,13 @@ class ResNetBackbone(nn.Module):
     # 89.9 ms direct). 'direct' (default) uses kernel-dilated convs.
     # Parameters are identical either way.
     dilated_impl: str = "direct"
+    # 'packed4' computes the stem conv on the space-to-depth2-packed
+    # 12-channel image (exact-math fold of the 7x7/2, see
+    # fold_conv7_to_packed4) and also accepts pre-packed [b, h/2, w/2, 12]
+    # input directly — the caller can then pack in uint8 (1/4 the relayout
+    # bytes) or ship pre-packed rows, sidestepping the bf16 pack transpose
+    # that refuted the in-graph form (CLAUDE.md: 10.9 vs 10.2 ms at b16).
+    stem: str = "conv7"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -146,8 +219,14 @@ class ResNetBackbone(nn.Module):
         norm = partial(nn.BatchNorm, use_running_average=not train,
                        momentum=0.9, epsilon=1e-5, dtype=self.dtype)
 
-        x = conv(64, (7, 7), strides=(2, 2), padding=[(3, 3)] * 2,
-                 use_bias=False, kernel_init=he_fanout_normal())(x)
+        if self.stem == "packed4":
+            if x.shape[-1] != 12:
+                x = space_to_depth2(x)
+            x = conv(64, (4, 4), padding=[(2, 1), (2, 1)], use_bias=False,
+                     kernel_init=he_fanout_normal())(x)
+        else:
+            x = conv(64, (7, 7), strides=(2, 2), padding=[(3, 3)] * 2,
+                     use_bias=False, kernel_init=he_fanout_normal())(x)
         x = norm()(x)
         x2s = nn.relu(x)
         x = nn.max_pool(x2s, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)

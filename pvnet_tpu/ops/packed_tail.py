@@ -241,6 +241,26 @@ def _pack_image_kernel() -> np.ndarray:
     return _pack_identity_kernel(3)
 
 
+def _fold_direct_to_packed3(w4: jnp.ndarray) -> jnp.ndarray:
+    """Refold the stride-2 4x4 skip/image kernel [4, 4, cin, cout] for an
+    ALIGNED space_to_depth2-packed input: [3, 3, 4*cin, cout], stride 1,
+    pad (1, 1). Output row oy of the direct conv reads rows
+    2oy - 1 + dy (dy in [0,4)) = packed cell oy + k - 1 phase a with
+    dy = 2k + a - 1; only 16 of the 36 packed taps are nonzero, but cin
+    is tiny (rgb) so the extra FLOPs are noise next to the layout win of
+    never materializing a 3-channel full-res tensor."""
+    S = np.zeros((3, 2, 4), np.float32)               # [k, phase, dy]
+    for k in range(3):
+        for a in range(2):
+            d = 2 * k + a - 1
+            if 0 <= d < 4:
+                S[k, a, d] = 1.0
+    Sj = jnp.asarray(S, w4.dtype)
+    w3 = jnp.einsum("kad,lbe,deco->klabco", Sj, Sj, w4)
+    cin, cout = w4.shape[2], w4.shape[3]
+    return w3.reshape(3, 3, 4 * cin, cout)
+
+
 def fold_packed_tail(w_raw, bn_scale, bn_bias, bn_mean, bn_var,
                      w_head, b_head, h: int, w: int, h2: int, w2: int,
                      eps: float = 1e-5, alpha: float = 0.1
@@ -535,8 +555,17 @@ def run_packed_tail(fm: jnp.ndarray, image: jnp.ndarray,
         up, tp.w_fm.astype(dtype), (1, 1), [(0, 0), (0, 0)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=acc_t)
-    # rgb term reads the image directly (see _fold_conv_direct)
-    y = y + _conv_skip_direct(image, tp.w_im, dtype, acc_t)  # [b,h2,w2,4c]
+    # rgb term: direct stride-2 conv on full-res rgb, or — for an
+    # already-packed [b, h2, w2, 12] image (packed-stem pipelines) — the
+    # refolded 3x3 on the packed lattice (see _fold_direct_to_packed3)
+    if image.shape[-1] == 12:
+        y = y + jax.lax.conv_general_dilated(
+            image.astype(dtype),
+            _fold_direct_to_packed3(tp.w_im).astype(dtype), (1, 1),
+            [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=acc_t)
+    else:
+        y = y + _conv_skip_direct(image, tp.w_im, dtype, acc_t)
 
     y = y * tp.scale4.astype(acc_t) + tp.bias4.astype(acc_t)
     y = jnp.where(y > 0, y, jnp.asarray(alpha, acc_t) * y)
@@ -555,7 +584,8 @@ def packed_tail_from_variables(variables, fm, image, alpha: float = 0.1,
     Conv_5, models/pvnet.py naming) and run the packed tail."""
     p = variables["params"]
     bn = variables["batch_stats"]["BatchNorm_4"]
-    b, h, w, _ = image.shape
+    b, ih, iw, ic = image.shape
+    h, w = (2 * ih, 2 * iw) if ic == 12 else (ih, iw)
     tp = fold_packed_tail(
         p["Conv_4"]["kernel"], p["BatchNorm_4"]["scale"],
         p["BatchNorm_4"]["bias"], bn["mean"], bn["var"],
@@ -580,7 +610,8 @@ def packed_tail_deep_from_variables(variables, fm4, x2s, image,
     backbone skip (both from apply(..., return_4s_features=True))."""
     p = variables["params"]
     bs = variables["batch_stats"]
-    b, h, w, _ = image.shape
+    b, ih, iw, ic = image.shape
+    h, w = (2 * ih, 2 * iw) if ic == 12 else (ih, iw)
     h2, w2 = x2s.shape[1], x2s.shape[2]
     cp = fold_packed_stage(
         p["Conv_3"]["kernel"], p["BatchNorm_3"]["scale"],
@@ -612,7 +643,8 @@ def packed_tail_deep3_from_variables(variables, fm8, x4s, x2s, image,
     backbone skips (all from apply(..., return_8s_features=True))."""
     p = variables["params"]
     bs = variables["batch_stats"]
-    b, h, w, _ = image.shape
+    b, ih, iw, ic = image.shape
+    h, w = (2 * ih, 2 * iw) if ic == 12 else (ih, iw)
     h2, w2 = x2s.shape[1], x2s.shape[2]
     cp4 = fold_packed_stage(
         p["Conv_2"]["kernel"], p["BatchNorm_2"]["scale"],

@@ -38,6 +38,23 @@ class VoteParams(NamedTuple):
     uncertainty_hyp_num: int = 4096
 
 
+def normalize_packed_u8(image_u8: jnp.ndarray,
+                        dtype=jnp.float32) -> jnp.ndarray:
+    """[b, h, w, 3] uint8 -> [b, h/2, w/2, 12] ImageNet-normalized, for
+    models built with stem='packed4'.
+
+    The space-to-depth transpose runs in uint8 — 1/4 the relayout bytes
+    of packing the normalized float image (the cost that refuted in-graph
+    packing, CLAUDE.md) — and per-channel normalization exactly commutes
+    with packing (mean/std tiled 4x; tests/test_packed_stem.py)."""
+    from pvnet_tpu.config import IMAGENET_MEAN, IMAGENET_STD
+    from pvnet_tpu.models.resnet import space_to_depth2
+    xp = space_to_depth2(image_u8)
+    mean12 = jnp.tile(jnp.asarray(IMAGENET_MEAN, dtype), 4)
+    std12 = jnp.tile(jnp.asarray(IMAGENET_STD, dtype), 4)
+    return (xp.astype(dtype) / 255.0 - mean12) / std12
+
+
 def predict_fields(apply_fn, variables, image: jnp.ndarray
                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """FCN forward: [b, h, w, 3] -> (mask [b, h, w], vertex field).
@@ -48,7 +65,8 @@ def predict_fields(apply_fn, variables, image: jnp.ndarray
     [b, vn*2, h, w] (the voting layer accepts both — the channel-major
     form feeds the selection kernel without a layout change)."""
     seg_pred, ver_pred = apply_fn(variables, image, train=False)
-    b, h, w, _ = image.shape
+    b, ih, iw, ic = image.shape
+    h, w = (2 * ih, 2 * iw) if ic == 12 else (ih, iw)   # packed-stem input
     if seg_pred.shape[1:3] == (h, w):                       # NHWC head
         mask = jnp.argmax(seg_pred, axis=-1)
         vd = ver_pred.shape[-1]
@@ -153,7 +171,8 @@ def make_pose_pipeline(apply_fn, points_3d, K,
                        impl: Optional[str] = None,
                        fused_tail: bool = False,
                        tail_depth: int = 1,
-                       tail_dtype=jnp.bfloat16):
+                       tail_dtype=jnp.bfloat16,
+                       raw_uint8: bool = False):
     """Build the fully fused image->pose function.
 
     Returns f(variables, image [b,h,w,3], key) -> (pose [b,3,4],
@@ -173,6 +192,8 @@ def make_pose_pipeline(apply_fn, points_3d, K,
 
     def run_fused(variables, image, key):
         from pvnet_tpu.ops import voting
+        if raw_uint8:
+            image = normalize_packed_u8(image)
         k0, k1, k2 = jax.random.split(key, 3)
         fg = fused_tail_foreground(apply_fn, variables, image,
                                    params.max_num, k0, dtype=tail_dtype,
@@ -191,6 +212,8 @@ def make_pose_pipeline(apply_fn, points_3d, K,
         return pose, kps
 
     def run(variables, image, key):
+        if raw_uint8:
+            image = normalize_packed_u8(image)
         mask, vertex = predict_fields(apply_fn, variables, image)
         if uncertainty:
             mean, cov = keypoints_with_covariance(mask, vertex, key, params,
