@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--no-bf16", dest="bf16", action="store_false",
                     default=True)
+    ap.add_argument("--packed_stem", action="store_true", default=False,
+                    help="stem on the s2d-packed uint8 image; the e2e "
+                         "timings start from raw uint8 input")
     ap.add_argument("--tail_depth", type=int, default=0, choices=(0, 1, 2, 3),
                     help="also profile the packed-lattice pipeline at this "
                          "depth (0 = plain only)")
@@ -49,19 +52,37 @@ def main():
     rng = np.random.RandomState(0)
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     model = build_model("resnet18_8s", ver_dim=18, dtype=dtype,
-                        head_layout="NCHW")
-    image = jnp.asarray(rng.randn(b, h, w, 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), image[:1], train=False)
+                        head_layout="NCHW",
+                        stem="packed4" if args.packed_stem else "conv7")
+    if args.packed_stem:
+        image = jnp.asarray(rng.randint(0, 255, (b, h, w, 3)), jnp.uint8)
+    else:
+        image = jnp.asarray(rng.randn(b, h, w, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, h, w, 3), jnp.float32),
+                           train=False)
     pts3d = rng.uniform(-0.06, 0.06, (9, 3)).astype(np.float32)
     key = jax.random.PRNGKey(1)
 
-    fwd = lambda v, x: pl_mod.predict_fields(model.apply, v, x)
+    if args.packed_stem:
+        fwd = lambda v, x: pl_mod.predict_fields(
+            model.apply, v, pl_mod.normalize_packed_u8(x))
+    else:
+        fwd = lambda v, x: pl_mod.predict_fields(model.apply, v, x)
+
+    def chain_img(img, scalar):
+        """Fold a data-dependent (runtime-zero) scalar into the image so
+        scan steps cannot be hoisted; works for uint8 images too."""
+        if img.dtype == jnp.uint8:
+            return (img.astype(jnp.int32)
+                    + scalar.astype(jnp.int32)).astype(jnp.uint8)
+        return img + scalar.astype(img.dtype)
 
     def fcn_step(img):
         mask, vertex = fwd(variables, img)
         # layout-agnostic scalar carry dependence (vertex may be NHWC
         # [b,h,w,vn,2] or the channel-major [b,vn*2,h,w] emission)
-        return img + vertex.astype(jnp.float32).mean() * 1e-12
+        return chain_img(img, vertex.astype(jnp.float32).mean() * 1e-12)
 
     t_fwd = timeit_chained(fcn_step, image, args.iters)
     mask, vertex = jax.jit(fwd)(variables, image)
@@ -94,12 +115,13 @@ def main():
     full = pl_mod.make_pose_pipeline(
         model.apply, pts3d, LINEMOD_K,
         params=pl_mod.VoteParams(hyp_num=args.hyp_num,
-                                 max_num=args.max_num))
+                                 max_num=args.max_num),
+        raw_uint8=args.packed_stem)
 
     def full_step(carry):
         img, k = carry
         pose, kp = full(variables, img, k)
-        return (img + pose[:, 0, 0, None, None, None] * 1e-12,
+        return (chain_img(img, pose[:, 0, 0].mean() * 1e-12),
                 jax.random.fold_in(k, 0))
 
     t_full = timeit_chained(full_step, (image, key), args.iters)
@@ -113,12 +135,12 @@ def main():
             params=pl_mod.VoteParams(hyp_num=args.hyp_num,
                                      max_num=args.max_num),
             fused_tail=True, tail_depth=args.tail_depth,
-            tail_dtype=model.dtype)
+            tail_dtype=model.dtype, raw_uint8=args.packed_stem)
 
         def packed_step(carry):
             img, k = carry
             pose, kp = packed(variables, img, k)
-            return (img + pose[:, 0, 0, None, None, None] * 1e-12,
+            return (chain_img(img, pose[:, 0, 0].mean() * 1e-12),
                     jax.random.fold_in(k, 0))
 
         t_packed = timeit_chained(packed_step, (image, key), args.iters)
