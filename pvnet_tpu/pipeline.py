@@ -233,7 +233,8 @@ def make_sharded_pose_pipeline(mesh, apply_fn, points_3d, K,
                                impl: Optional[str] = None,
                                fused_tail: bool = False,
                                tail_depth: int = 1,
-                               tail_dtype=jnp.bfloat16):
+                               tail_dtype=jnp.bfloat16,
+                               raw_uint8: bool = False):
     """Data-parallel fused inference over a device mesh.
 
     Variables replicated, images split on dim 0 over the 'data' axis —
@@ -246,6 +247,7 @@ def make_sharded_pose_pipeline(mesh, apply_fn, points_3d, K,
     data = NamedSharding(mesh, P("data"))
     run = make_pose_pipeline(apply_fn, points_3d, K, params, uncertainty,
                              impl, fused_tail=fused_tail,
-                             tail_depth=tail_depth, tail_dtype=tail_dtype)
+                             tail_depth=tail_depth, tail_dtype=tail_dtype,
+                             raw_uint8=raw_uint8)
     return jax.jit(run, in_shardings=(repl, data, repl),
                    out_shardings=(data, data))

@@ -64,3 +64,43 @@ def test_export_cli_roundtrip(tmp_path):
         capture_output=True, text=True, timeout=900, env=env)
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert "finite=True" in r2.stdout
+
+
+def test_export_packed_stem_uint8(tmp_path):
+    from jax import export as jexport
+    sys.path.insert(0, "tools")
+    from export import build_exported
+
+    rng = np.random.RandomState(1)
+    pts3d = rng.uniform(-0.05, 0.05, (9, 3)).astype(np.float32)
+    model = build_model("resnet18_8s", ver_dim=18, stem="packed4")
+    img_u8 = jnp.asarray(rng.randint(0, 255, (2, 64, 64, 3)), jnp.uint8)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+
+    exp = build_exported(model, variables, pts3d, LINEMOD_K, 2, 64, 64,
+                         vote_params=VoteParams(hyp_num=64, max_num=64),
+                         fused_tail=True, tail_depth=3, raw_uint8=True)
+    fn = jexport.deserialize(exp.serialize())
+    pose, kps = fn.call(img_u8, jnp.int32(3))
+    assert pose.shape == (2, 3, 4) and kps.shape == (2, 9, 2)
+    assert np.isfinite(np.asarray(pose)).all()
+
+
+def test_serve_decode_raw_uint8():
+    import io as iomod
+    sys.path.insert(0, "tools")
+    from serve import decode_image
+
+    rng = np.random.RandomState(2)
+    arr = rng.randint(0, 255, (48, 64, 3)).astype(np.uint8)
+    buf = iomod.BytesIO()
+    np.save(buf, arr)
+    out = decode_image(buf.getvalue(), "application/x-npy", 48, 64,
+                       normalized=False, raw_uint8=True)
+    assert out.dtype == np.uint8
+    np.testing.assert_array_equal(out, arr)
+    # resize path stays uint8
+    out2 = decode_image(buf.getvalue(), "application/x-npy", 24, 32,
+                        normalized=False, raw_uint8=True)
+    assert out2.dtype == np.uint8 and out2.shape == (24, 32, 3)

@@ -32,7 +32,7 @@ import numpy as np
 
 def build_exported(model, variables, points_3d, K, batch, height, width,
                    uncertainty=False, vote_params=None, fused_tail=False,
-                   tail_depth=1):
+                   tail_depth=1, raw_uint8=False):
     """Export f(images [b,h,w,3] f32, seed i32) -> (pose, kps)."""
     import jax
     import jax.numpy as jnp
@@ -44,13 +44,16 @@ def build_exported(model, variables, points_3d, K, batch, height, width,
                              uncertainty=uncertainty,
                              fused_tail=fused_tail,
                              tail_depth=tail_depth,
-                             tail_dtype=model.dtype)
+                             tail_dtype=model.dtype,
+                             raw_uint8=raw_uint8)
 
     def serve(images, seed):
         key = jax.random.PRNGKey(seed)
         return run(variables, images, key)
 
-    spec_img = jax.ShapeDtypeStruct((batch, height, width, 3), jnp.float32)
+    spec_img = jax.ShapeDtypeStruct(
+        (batch, height, width, 3),
+        jnp.uint8 if raw_uint8 else jnp.float32)
     spec_seed = jax.ShapeDtypeStruct((), jnp.int32)
     return jexport.export(jax.jit(serve))(spec_img, spec_seed)
 
@@ -79,6 +82,9 @@ def main():
                     help="packed decoder depth with --fused_tail")
     ap.add_argument("--no-bf16", dest="bf16", action="store_false",
                     default=True)
+    ap.add_argument("--packed_stem", action="store_true", default=False,
+                    help="artifact takes raw uint8 images; pack+normalize "
+                         "+ the folded packed stem run inside the program")
     args = ap.parse_args()
 
     from pvnet_tpu.utils.cache import enable_compilation_cache
@@ -93,7 +99,9 @@ def main():
         with open(os.path.join(args.load, "manifest.json")) as f:
             man = json.load(f)
         b, h, w = man["batch"], man["height"], man["width"]
-        imgs = jnp.zeros((b, h, w, 3), jnp.float32)
+        imgs = jnp.zeros((b, h, w, 3),
+                         jnp.uint8 if man.get("input_dtype") == "uint8"
+                         else jnp.float32)
         pose, kps = fn.call(imgs, jnp.int32(0))
         print(f"loaded {args.load}: pose {pose.shape} kps {kps.shape} "
               f"finite={bool(np.isfinite(np.asarray(pose)).all())}")
@@ -109,6 +117,9 @@ def main():
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     model = build_model(args.network, ver_dim=2 * vn, seg_dim=2, dtype=dtype,
                        head_layout="NCHW")
+    export_model = model if not args.packed_stem else build_model(
+        args.network, ver_dim=2 * vn, seg_dim=2, dtype=dtype,
+        head_layout="NCHW", stem="packed4")
     if args.checkpoint:
         from pvnet_tpu.train import trainer as trainer_mod
         from pvnet_tpu.train.checkpoint import load_net
@@ -127,11 +138,15 @@ def main():
             jnp.zeros((1, args.height, args.width, 3)), train=False)
         src = "random-init"
 
-    exp = build_exported(model, variables, points_3d, LINEMOD_K,
+    if args.packed_stem:
+        from pvnet_tpu.models.resnet import fold_stem_params
+        variables = fold_stem_params(variables)
+    exp = build_exported(export_model, variables, points_3d, LINEMOD_K,
                          args.batch, args.height, args.width,
                          uncertainty=args.uncertainty,
                          fused_tail=args.fused_tail,
-                         tail_depth=args.tail_depth)
+                         tail_depth=args.tail_depth,
+                         raw_uint8=args.packed_stem)
     os.makedirs(args.out_dir, exist_ok=True)
     blob = exp.serialize()
     with open(os.path.join(args.out_dir, "pipeline.jaxexport"), "wb") as f:
@@ -142,9 +157,11 @@ def main():
         "fused_tail": args.fused_tail,
         "tail_depth": args.tail_depth,
         "platforms": list(exp.platforms), "weights": src,
+        "input_dtype": "uint8" if args.packed_stem else "float32",
         "points_3d": points_3d.tolist(),
-        "call": "fn.call(images [b,h,w,3] f32, seed i32) -> "
-                "(pose [b,3,4], keypoints [b,vn,2])",
+        "call": "fn.call(images [b,h,w,3] "
+                + ("u8 raw" if args.packed_stem else "f32 normalized")
+                + ", seed i32) -> (pose [b,3,4], keypoints [b,vn,2])",
     }
     with open(os.path.join(args.out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)

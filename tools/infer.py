@@ -54,6 +54,10 @@ def parse_args():
                    help="0 plain decoder; 1-3 packed-lattice tail depth "
                         "(ops/packed_tail.py; needs even image dims; "
                         "3 is the fastest measured and the default)")
+    p.add_argument("--packed_stem", action="store_true", default=False,
+                   help="run the stem on the s2d-packed uint8 image "
+                        "(conv7 checkpoint weights are folded exactly; "
+                        "host-side normalization is skipped)")
     p.add_argument("--output", default="poses.jsonl")
     return p.parse_args()
 
@@ -107,6 +111,11 @@ def main():
         return 1
     print(f"loaded epoch {epoch - 1}", flush=True)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if args.packed_stem:
+        from pvnet_tpu.models.resnet import fold_stem_params
+        model = build_model(cfg.network, ver_dim=2 * vn, seg_dim=2,
+                            dtype=model.dtype, stem="packed4")
+        variables = fold_stem_params(variables)
 
     mesh = make_mesh()
     n_dev = int(mesh.devices.size)
@@ -118,14 +127,21 @@ def main():
         mesh, model.apply, pts3d, K, params=params,
         uncertainty=args.uncertainty,
         fused_tail=args.tail_depth > 0, tail_depth=args.tail_depth,
-        tail_dtype=model.dtype)
+        tail_dtype=model.dtype, raw_uint8=args.packed_stem)
 
     def load_image(path):
-        img = np.array(Image.open(path).convert("RGB"), np.float32) / 255.0
-        return (img - IMAGENET_MEAN) / IMAGENET_STD
+        img = np.array(Image.open(path).convert("RGB"))
+        if args.packed_stem:
+            return img                      # uint8; device-side normalize
+        return (img.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
 
     # also report foreground size per image (cheap QA signal)
-    fwd = jax.jit(lambda v, x: pl_mod.predict_fields(model.apply, v, x)[0])
+    if args.packed_stem:
+        fwd = jax.jit(lambda v, x: pl_mod.predict_fields(
+            model.apply, v, pl_mod.normalize_packed_u8(x))[0])
+    else:
+        fwd = jax.jit(
+            lambda v, x: pl_mod.predict_fields(model.apply, v, x)[0])
 
     key = jax.random.PRNGKey(0)
     t0 = time.time()

@@ -45,9 +45,11 @@ class PoseBatcher:
     """Micro-batching wrapper around the exported fn."""
 
     def __init__(self, fn, batch: int, height: int, width: int,
-                 max_wait_ms: float = 10.0, request_timeout: float = 600.0):
+                 max_wait_ms: float = 10.0, request_timeout: float = 600.0,
+                 input_dtype=np.float32):
         self.fn = fn
         self.batch, self.h, self.w = batch, height, width
+        self.input_dtype = input_dtype
         self.max_wait = max_wait_ms / 1e3
         self.request_timeout = request_timeout
         self.q: "queue.Queue" = queue.Queue()
@@ -62,8 +64,8 @@ class PoseBatcher:
         tunnel) and would otherwise burn the first requests' timeout."""
         import jax.numpy as jnp
         t0 = time.monotonic()
-        self.fn.call(jnp.zeros((self.batch, self.h, self.w, 3), jnp.float32),
-                     jnp.int32(0))
+        self.fn.call(jnp.zeros((self.batch, self.h, self.w, 3),
+                               self.input_dtype), jnp.int32(0))
         return time.monotonic() - t0
 
     def infer(self, image: np.ndarray, timeout: float = None):
@@ -101,7 +103,8 @@ class PoseBatcher:
                 if nxt is None:
                     continue
                 pending.append(nxt)
-            imgs = np.zeros((self.batch, self.h, self.w, 3), np.float32)
+            imgs = np.zeros((self.batch, self.h, self.w, 3),
+                            self.input_dtype)
             for i, (im, _, _) in enumerate(pending):
                 imgs[i] = im
             try:
@@ -121,8 +124,9 @@ class PoseBatcher:
 
 
 def decode_image(body: bytes, content_type: str, h: int, w: int,
-                 normalized: bool) -> np.ndarray:
-    """Request body -> [h, w, 3] float32, ImageNet-normalized."""
+                 normalized: bool, raw_uint8: bool = False) -> np.ndarray:
+    """Request body -> [h, w, 3] float32 ImageNet-normalized, or raw
+    uint8 for packed-stem artifacts (normalization runs on device)."""
     from pvnet_tpu.config import IMAGENET_MEAN, IMAGENET_STD
     if content_type == "application/x-npy" or body[:6] == b"\x93NUMPY":
         arr = np.load(io.BytesIO(body), allow_pickle=False)
@@ -143,6 +147,11 @@ def decode_image(body: bytes, content_type: str, h: int, w: int,
         else:
             arr = np.asarray(Image.fromarray(
                 arr.astype(np.uint8)).resize((w, h), Image.BILINEAR))
+    if raw_uint8:
+        if np.issubdtype(arr.dtype, np.floating):
+            arr = np.clip(arr * (255.0 if arr.max() <= 2.0 else 1.0),
+                          0, 255)
+        return arr.astype(np.uint8)
     arr = arr.astype(np.float32)
     if normalized:
         return arr
@@ -183,7 +192,8 @@ def make_handler(batcher: PoseBatcher, manifest: dict):
                 img = decode_image(
                     body, self.headers.get("Content-Type", ""),
                     batcher.h, batcher.w,
-                    self.headers.get("X-Normalized") == "1")
+                    self.headers.get("X-Normalized") == "1",
+                    raw_uint8=batcher.input_dtype == np.uint8)
                 pose, kps = batcher.infer(img)
                 self._send(200, {"pose": pose.tolist(),
                                  "keypoints": kps.tolist()})
@@ -209,8 +219,11 @@ def serve(export_dir: str, host: str = "0.0.0.0", port: int = 8400,
           max_wait_ms: float = 10.0, started: "threading.Event" = None):
     from http.server import ThreadingHTTPServer
     fn, manifest = load_artifact(export_dir)
-    batcher = PoseBatcher(fn, manifest["batch"], manifest["height"],
-                          manifest["width"], max_wait_ms)
+    batcher = PoseBatcher(
+        fn, manifest["batch"], manifest["height"], manifest["width"],
+        max_wait_ms,
+        input_dtype=(np.uint8 if manifest.get("input_dtype") == "uint8"
+                     else np.float32))
     dt = batcher.warmup()
     print(f"warmup compile: {dt:.1f}s", flush=True)
     httpd = ThreadingHTTPServer((host, port), make_handler(batcher, manifest))
