@@ -122,6 +122,11 @@ def main():
                          "(models/resnet.py stem='packed4'): the timed "
                          "input is raw uint8, pack+normalize run on "
                          "device inside the program")
+    ap.add_argument("--prepacked", action="store_true", default=False,
+                    help="with --packed_stem: the host pre-packs to "
+                         "[b, h/2, w/2, 12] uint8 (a numpy op at decode "
+                         "time); the device only normalizes — isolates "
+                         "the on-device s2d transpose cost")
     ap.add_argument("--bf16", action="store_true", default=True)
     ap.add_argument("--no-bf16", dest="bf16", action="store_false")
     args = ap.parse_args()
@@ -151,6 +156,13 @@ def main():
         variables = jax.device_put(fold_stem_params(v7))
         image = build_inputs(args.batch, args.height, args.width,
                              uint8=True)
+        if args.prepacked:
+            arr = np.asarray(image)
+            b_, h_, w_, _ = arr.shape
+            arr = arr.reshape(b_, h_ // 2, 2, w_ // 2, 2, 3)
+            arr = arr.transpose(0, 1, 3, 2, 4, 5).reshape(
+                b_, h_ // 2, w_ // 2, 12)
+            image = jnp.asarray(arr)
     else:
         image = build_inputs(args.batch, args.height, args.width)
         variables, weights_kind = load_weights(model, image,

@@ -46,10 +46,15 @@ def normalize_packed_u8(image_u8: jnp.ndarray,
     The space-to-depth transpose runs in uint8 — 1/4 the relayout bytes
     of packing the normalized float image (the cost that refuted in-graph
     packing, CLAUDE.md) — and per-channel normalization exactly commutes
-    with packing (mean/std tiled 4x; tests/test_packed_stem.py)."""
+    with packing (mean/std tiled 4x; tests/test_packed_stem.py).
+
+    Already-packed [b, h/2, w/2, 12] uint8 input (host-side pack — a
+    cheap numpy op at decode time) skips the device transpose and only
+    normalizes."""
     from pvnet_tpu.config import IMAGENET_MEAN, IMAGENET_STD
     from pvnet_tpu.models.resnet import space_to_depth2
-    xp = space_to_depth2(image_u8)
+    xp = (image_u8 if image_u8.shape[-1] == 12
+          else space_to_depth2(image_u8))
     mean12 = jnp.tile(jnp.asarray(IMAGENET_MEAN, dtype), 4)
     std12 = jnp.tile(jnp.asarray(IMAGENET_STD, dtype), 4)
     return (xp.astype(dtype) / 255.0 - mean12) / std12

@@ -82,6 +82,18 @@ def test_normalize_commutes_with_packing():
                                atol=1e-5)
 
 
+def test_normalize_accepts_prepacked():
+    # A host-prepacked [b, h/2, w/2, 12] uint8 input normalizes to the
+    # same array as the raw [b, h, w, 3] path (pipeline.normalize_packed_u8
+    # skips the device s2d when channels == 12).
+    from pvnet_tpu import pipeline as pl
+    rng = np.random.RandomState(4)
+    x = rng.randint(0, 255, (2, 16, 16, 3)).astype(np.uint8)
+    raw = pl.normalize_packed_u8(jnp.asarray(x))
+    pre = pl.normalize_packed_u8(space_to_depth2(jnp.asarray(x)))
+    np.testing.assert_array_equal(np.asarray(raw), np.asarray(pre))
+
+
 def test_packed_stem_trains():
     # gradients flow through the packed stem (fresh init, no folding)
     mp = build_model("resnet18_8s", ver_dim=18, stem="packed4")
