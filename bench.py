@@ -127,6 +127,10 @@ def main():
                          "[b, h/2, w/2, 12] uint8 (a numpy op at decode "
                          "time); the device only normalizes — isolates "
                          "the on-device s2d transpose cost")
+    ap.add_argument("--quant", action="store_true", default=False,
+                    help="int8 PTQ on backbone layer3/layer4 "
+                         "(ops/quant_conv.py): ~86%% of backbone FLOPs "
+                         "on the 2x-rate int8 MXU path")
     ap.add_argument("--bf16", action="store_true", default=True)
     ap.add_argument("--no-bf16", dest="bf16", action="store_false")
     args = ap.parse_args()
@@ -144,8 +148,10 @@ def main():
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     stem = "packed4" if args.packed_stem else "conv7"
+    quant_stages = (2, 3) if args.quant else ()
     model = build_model("resnet18_8s", ver_dim=18, seg_dim=2, dtype=dtype,
-                        head_layout="NCHW", stem=stem)
+                        head_layout="NCHW", stem=stem,
+                        quant_stages=quant_stages)
     if args.packed_stem:
         # checkpoints are conv7-trained: load via a conv7 template, fold
         from pvnet_tpu.models.resnet import fold_stem_params
@@ -202,6 +208,7 @@ def main():
         "fused_tail": bool(args.fused_tail),
         "tail_depth": args.tail_depth if args.fused_tail else 0,
         "packed_stem": bool(args.packed_stem),
+        "quant": bool(args.quant),
     }
 
     if args.stages:

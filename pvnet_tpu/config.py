@@ -173,6 +173,9 @@ class TrainConfig:
     """Training recipe, JSON-compatible with ref configs/linemod_train.json."""
     model_name: str = "linemod_train"
     network: str = "resnet18_8s"
+    # Backbone stages to run int8 PTQ at inference (ops/quant_conv.py);
+    # e.g. [2, 3] = layer3+layer4. Training always runs float.
+    quant_stages: tuple = ()
 
     lr: float = 1e-3
     lr_decay_rate: float = 0.5

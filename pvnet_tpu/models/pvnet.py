@@ -108,6 +108,10 @@ class PVNet(nn.Module):
     dtype: Any = jnp.float32
     head_layout: str = "NHWC"
     stem: str = "conv7"          # 'packed4' = stem conv on s2d-packed rgb
+    # Backbone stages to run int8 at inference (see ResNetBackbone
+    # .quant_stages / ops/quant_conv.py); (2, 3) = layer3+layer4, the
+    # backbone's ~86%-of-FLOPs dilated stages. () = float everywhere.
+    quant_stages: Tuple[int, ...] = ()
 
     @nn.compact
     def __call__(self, x, train: bool = False,
@@ -146,7 +150,8 @@ class PVNet(nn.Module):
         backbone = ResNetBackbone(block=self.block,
                                   stage_sizes=self.stage_sizes,
                                   output_stride=8, dtype=self.dtype,
-                                  stem=self.stem)
+                                  stem=self.stem,
+                                  quant_stages=self.quant_stages)
         x2s, x4s, x8s, x16s, x32s = backbone(x_in, train=train)
 
         conv = partial(nn.Conv, dtype=self.dtype,
@@ -254,6 +259,7 @@ class PVNet2o(nn.Module):
     s4dim: int = 128
     s2dim: int = 64
     dtype: Any = jnp.float32
+    quant_stages: Tuple[int, ...] = ()   # see PVNet.quant_stages
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -263,7 +269,8 @@ class PVNet2o(nn.Module):
 
         backbone = ResNetBackbone(block=self.block,
                                   stage_sizes=self.stage_sizes,
-                                  output_stride=8, dtype=self.dtype)
+                                  output_stride=8, dtype=self.dtype,
+                                  quant_stages=self.quant_stages)
         x2s, x4s, x8s, x16s, x32s = backbone(x_in, train=train)
 
         conv = partial(nn.Conv, dtype=self.dtype,

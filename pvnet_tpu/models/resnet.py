@@ -212,6 +212,11 @@ class ResNetBackbone(nn.Module):
     # bytes) or ship pre-packed rows, sidestepping the bf16 pack transpose
     # that refuted the in-graph form (CLAUDE.md: 10.9 vs 10.2 ms at b16).
     stem: str = "conv7"
+    # Backbone stages (0-based: 2 = layer3, 3 = layer4) whose convs run
+    # int8 at inference (ops/quant_conv.py — per-out-channel weight +
+    # dynamic per-tensor activation PTQ; param tree unchanged, so trained
+    # checkpoints load as-is). Training always runs the float path.
+    quant_stages: Sequence[int] = ()
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -252,10 +257,15 @@ class ResNetBackbone(nn.Module):
             if s2b:
                 batch = x.shape[0]
                 x = space_to_batch(x, dilation)
+            if stage in self.quant_stages and not train:
+                from pvnet_tpu.ops.quant_conv import Conv as QConv
+                conv_s = partial(QConv, dtype=self.dtype, quant=True)
+            else:
+                conv_s = conv
             for i in range(n_blocks):
                 x = self.block(filters, strides=stride if i == 0 else 1,
                                dilation=1 if s2b else dilation,
-                               conv=conv, norm=norm)(x)
+                               conv=conv_s, norm=norm)(x)
             if s2b:
                 x = batch_to_space(x, dilation, batch)
             feats.append(x)

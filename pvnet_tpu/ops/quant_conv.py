@@ -1,0 +1,91 @@
+"""Int8 post-training-quantized conv for inference (TPU MXU int8 path).
+
+TPU v5e runs int8 MXU ops at ~2x the bf16 rate; measured on this chip the
+dominant dilated backbone convs (layer3/layer4 of the ResNet18-8s trunk,
+~112 of ~130 GF/img) hit 250 TOP/s int8 vs 128 TF/s bf16, and still win
+1.36-1.4x with the quantize/dequantize passes fused in-graph
+(tools/bench_int8_conv.py). Since the bf16 backbone already runs at ~94%
+of roofline, this is the main remaining single-chip throughput lever.
+
+Scheme (standard symmetric PTQ):
+  - weights: per-output-channel absmax/127 scale, quantized in-graph from
+    the checkpoint's float kernel (11M params -> the requantize pass is
+    ~50 us/step and keeps checkpoints/param-trees byte-identical to the
+    unquantized model);
+  - activations: dynamic per-tensor absmax/127 (one cheap reduction per
+    conv; no calibration state to manage);
+  - accumulation: int32 (exact), dequant to the model dtype.
+
+The class is deliberately named ``Conv`` so Flax's class-name-based
+submodule auto-naming produces the same param paths (``Conv_0``, ...) as
+``nn.Conv`` — trained checkpoints load into quantized models unchanged.
+
+The reference has no quantization path; this is TPU-native machinery on
+top of the reference's inference surface (ref lib/networks/resnet.py
+backbone semantics are preserved up to quantization error — see
+tests/test_quant_conv.py for the error bound and eval-metric checks).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+from jax import lax
+
+
+class Conv(nn.Conv):
+    """Drop-in ``nn.Conv`` that runs the conv in int8 when ``quant=True``.
+
+    With ``quant=False`` (default) it is exactly ``nn.Conv``. Parameters
+    (names, shapes, dtypes, init) are identical either way, so the same
+    variables tree serves both modes.
+    """
+    quant: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if not self.quant:
+            return super().__call__(x)
+
+        if isinstance(self.kernel_size, int):
+            kernel_size = (self.kernel_size,)
+        else:
+            kernel_size = tuple(self.kernel_size)
+        cin = x.shape[-1]
+        assert self.feature_group_count == 1, "quant conv: groups == 1 only"
+        kshape = kernel_size + (cin, self.features)
+        kernel = self.param("kernel", self.kernel_init, kshape,
+                            self.param_dtype)
+
+        def _pair(v, default):
+            if v is None:
+                return (default,) * len(kernel_size)
+            if isinstance(v, int):
+                return (v,) * len(kernel_size)
+            return tuple(v)
+
+        strides = _pair(self.strides, 1)
+        kernel_dilation = _pair(self.kernel_dilation, 1)
+
+        # per-output-channel symmetric weight scale
+        k = kernel.astype(jnp.float32)
+        s_w = jnp.max(jnp.abs(k), axis=tuple(range(k.ndim - 1)))
+        s_w = jnp.maximum(s_w, 1e-12) / 127.0          # [cout]
+        k_i8 = jnp.clip(jnp.round(k / s_w), -127, 127).astype(jnp.int8)
+
+        # dynamic per-tensor symmetric activation scale
+        xf = x.astype(jnp.float32)
+        s_x = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
+        q = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+
+        dn = lax.conv_dimension_numbers(q.shape, k_i8.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+        y = lax.conv_general_dilated(
+            q, k_i8, strides, self.padding,
+            rhs_dilation=kernel_dilation, dimension_numbers=dn,
+            preferred_element_type=jnp.int32)
+        out = y.astype(jnp.float32) * (s_x * s_w)
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,),
+                              self.param_dtype)
+            out = out + bias.astype(jnp.float32)
+        return out.astype(self.dtype)

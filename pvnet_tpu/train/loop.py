@@ -66,7 +66,8 @@ class TrainLoop:
         self.model = build_model(cfg.network, ver_dim=self.vote_num * 2,
                                  seg_dim=2,
                                  dtype=jnp.bfloat16 if cfg.bf16
-                                 else jnp.float32)
+                                 else jnp.float32,
+                                 quant_stages=tuple(cfg.quant_stages))
         self.model_name = f"{cls_name}_{cfg.model_name}"
         self.model_dir = os.path.join(self.paths.model_dir, self.model_name)
         self.recorder = Recorder(os.path.join(self.paths.record_dir,
