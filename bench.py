@@ -94,6 +94,57 @@ def load_weights(model, image, ckpt_path):
 from pvnet_tpu.utils.benchlib import timeit_chained
 
 
+def bench_train_step(batch: int, h: int, w: int, iters: int):
+    """Training throughput: the production device-resident train step
+    (trainer.train_step_from_data) — HBM-resident uint8 frames, on-device
+    augmentation, vertex-target generation, forward+backward+Adam — timed
+    with the chained harness. Mirrors the reference's training envelope
+    (200 epochs, ref tools/train_linemod.py train()); the reference trains
+    at batch 32 on 12 GB GPUs, but full-res 480x640 with Adam state OOMs a
+    16 GB chip above ~16, so the default matches the synthetic recipe.
+
+    Returns (sec/step, aug_hw, batch)."""
+    import functools
+    from pvnet_tpu.config import TrainConfig
+    from pvnet_tpu.models.pvnet import build_model
+    from pvnet_tpu.train import trainer
+
+    cfg = TrainConfig(model_name="bench", train_batch_size=batch)
+    model = build_model("resnet18_8s", ver_dim=18, seg_dim=2,
+                        dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(7)
+    state = trainer.create_train_state(model, cfg, (1, h, w, 3), key)
+
+    # small resident pool of distinct synthetic frames (the gather inside
+    # the step is by index, so pool size doesn't change per-step cost)
+    n = max(2 * batch, 32)
+    rng = np.random.RandomState(11)
+    data = {
+        "image": jnp.asarray(rng.randint(0, 256, (n, h, w, 3), np.uint8)),
+        "mask": jnp.asarray(
+            (rng.rand(n, h, w) < 0.05).astype(np.uint8)),
+        "hcoords": jnp.asarray(np.concatenate(
+            [rng.rand(n, 9, 1) * w, rng.rand(n, 9, 1) * h,
+             np.ones((n, 9, 1))], axis=-1).astype(np.float32)),
+    }
+    aug_hw = (h, w)
+    step = functools.partial(trainer.train_step_from_data,
+                             vertex_loss_ratio=cfg.vertex_loss_ratio,
+                             aug_cfg=cfg.aug_cfg, aug_hw=aug_hw)
+
+    def step_fn(carry):
+        st, acc = carry
+        k = jax.random.fold_in(jax.random.PRNGKey(13),
+                               acc.astype(jnp.int32))
+        k1, k2 = jax.random.split(k)
+        idx = jax.random.randint(k1, (batch,), 0, n)
+        st, metrics = step(st, data, idx, k2)
+        return (st, acc + 1.0 + metrics["loss"].astype(jnp.float32) * 1e-3)
+
+    t = timeit_chained(step_fn, (state, jnp.float32(1.0)), iters)
+    return t, aug_hw, batch
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
@@ -133,11 +184,21 @@ def main():
                          "on the 2x-rate int8 MXU path")
     ap.add_argument("--bf16", action="store_true", default=True)
     ap.add_argument("--no-bf16", dest="bf16", action="store_false")
+    ap.add_argument("--no-train", dest="train_bench", action="store_false",
+                    default=True, help="skip the training-throughput bench")
+    ap.add_argument("--train_batch", type=int, default=16,
+                    help="training bench batch (synthetic_train recipe; "
+                         "the linemod recipe's 32 at full-res exceeds "
+                         "single-chip HBM with Adam state)")
     args = ap.parse_args()
+
+    if args.prepacked and not args.packed_stem:
+        ap.error("--prepacked requires --packed_stem")
 
     if args.quick:
         args.batch, args.height, args.width, args.iters = 2, 128, 128, 3
         args.stages = False
+        args.train_bench = False
 
     from pvnet_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -208,26 +269,29 @@ def main():
         "fused_tail": bool(args.fused_tail),
         "tail_depth": args.tail_depth if args.fused_tail else 0,
         "packed_stem": bool(args.packed_stem),
+        "prepacked": bool(args.prepacked),
         "quant": bool(args.quant),
     }
 
     if args.stages:
         b = args.batch
-        if args.packed_stem:
-            image = jax.jit(pl_mod.normalize_packed_u8)(image)
+        # normalized input for the stage decomposition (the pipelines
+        # below still take the original `image`, packed-u8 or float)
+        image_n = (jax.jit(pl_mod.normalize_packed_u8)(image)
+                   if args.packed_stem else image)
         fwd = lambda v, x: pl_mod.predict_fields(model.apply, v, x)
 
         def fcn_step(img):
             _, vertex = fwd(variables, img)
-            return img + vertex.astype(jnp.float32).mean() * 1e-12
+            return img + vertex.astype(img.dtype).mean() * 1e-6
 
-        t_fwd = timeit_chained(fcn_step, image, args.iters)
-        mask, vertex = jax.jit(fwd)(variables, image)
+        t_fwd = timeit_chained(fcn_step, image_n, args.iters)
+        mask, vertex = jax.jit(fwd)(variables, image_n)
 
         def vote_step(carry):
             v, k = carry
             kp = pl_mod.keypoints_from_fields(mask, v, k, params)
-            return (v + (kp.mean() * 1e-12).astype(v.dtype),
+            return (v + (kp.mean() * 1e-6).astype(v.dtype),
                     jax.random.fold_in(k, 0))
 
         t_vote = timeit_chained(vote_step, (vertex, key), args.iters)
@@ -237,7 +301,7 @@ def main():
         def pnp_step(kp):
             poses = pl_mod.poses_from_keypoints(
                 jnp.asarray(points_3d), kp, jnp.asarray(LINEMOD_K))
-            return kp + poses[:, 0, 0, None, None] * 1e-12
+            return kp + poses[:, 0, 0, None, None] * 1e-6
 
         t_pnp = timeit_chained(pnp_step, kps0, args.iters)
         record["stage_ms"] = {
@@ -246,18 +310,36 @@ def main():
             "pnp": round(t_pnp * 1e3, 2),
         }
 
+        # uncertainty PnP e2e — same packed-tail config as the main
+        # pipeline (round-2 review: running it through the plain decoder
+        # left ~15-20% on the table; pipeline.run_fused supports it)
         unc = jax.jit(make_pose_pipeline(
             model.apply, points_3d, LINEMOD_K, params=params,
-            uncertainty=True))
+            uncertainty=True, fused_tail=args.fused_tail,
+            tail_depth=args.tail_depth, raw_uint8=args.packed_stem))
 
+        # carry a float accumulator: it data-depends on each step's output
+        # (chains the scan) and is perturbable by timeit_chained even when
+        # the image is uint8 (keys and uint8 leaves pass _perturb
+        # unchanged — a (uint8, key) carry would re-memoize)
         def unc_step(carry):
-            img, k = carry
-            pose_u, _ = unc(variables, img, k)
-            return (img + pose_u[:, 0, 0, None, None, None] * 1e-12,
-                    jax.random.fold_in(k, 0))
+            img, k, acc = carry
+            kk = jax.random.fold_in(k, acc.astype(jnp.int32))
+            pose_u, _ = unc(variables, img, kk)
+            return (img, k,
+                    acc + 1.0 + pose_u.astype(jnp.float32).mean() * 1e-3)
 
-        t_unc = timeit_chained(unc_step, (image, key), args.iters)
+        t_unc = timeit_chained(unc_step, (image, key, jnp.float32(1.0)),
+                               args.iters)
         record["uncertainty_poses_per_sec"] = round(b / t_unc, 2)
+
+    if args.train_bench:
+        t_step, thw, tb = bench_train_step(args.train_batch, args.height,
+                                           args.width, max(args.iters, 4))
+        record["train_steps_per_sec"] = round(1.0 / t_step, 3)
+        record["train_imgs_per_sec"] = round(tb / t_step, 2)
+        record["train_batch"] = tb
+        record["train_hw"] = list(thw)
 
     print(json.dumps(record))
     return 0

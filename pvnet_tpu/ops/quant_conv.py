@@ -52,6 +52,13 @@ class Conv(nn.Conv):
             kernel_size = tuple(self.kernel_size)
         cin = x.shape[-1]
         assert self.feature_group_count == 1, "quant conv: groups == 1 only"
+        assert self.input_dilation in (None, 1), \
+            "quant conv: input_dilation unsupported"
+        assert self.mask is None, "quant conv: kernel masks unsupported"
+        assert isinstance(self.padding, str) or (
+            not isinstance(self.padding, int)
+            and all(len(p) == 2 for p in self.padding)), \
+            "quant conv: padding must be a string or (lo, hi) pairs"
         kshape = kernel_size + (cin, self.features)
         kernel = self.param("kernel", self.kernel_init, kshape,
                             self.param_dtype)
@@ -72,9 +79,15 @@ class Conv(nn.Conv):
         s_w = jnp.maximum(s_w, 1e-12) / 127.0          # [cout]
         k_i8 = jnp.clip(jnp.round(k / s_w), -127, 127).astype(jnp.int8)
 
-        # dynamic per-tensor symmetric activation scale
+        # dynamic per-IMAGE symmetric activation scale: a per-tensor absmax
+        # would make each image's quantization (and pose) depend on which
+        # other images share the batch; conv is linear per image, so a
+        # [b,1,1,1] scale factored out is exact and costs the same single
+        # reduction (ADVICE r2)
+        assert x.ndim == 4, "quant conv: NHWC 2D conv only"
         xf = x.astype(jnp.float32)
-        s_x = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
+        s_x = jnp.maximum(jnp.max(jnp.abs(xf), axis=(1, 2, 3),
+                                  keepdims=True), 1e-12) / 127.0
         q = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
 
         dn = lax.conv_dimension_numbers(q.shape, k_i8.shape,

@@ -288,7 +288,14 @@ class TrainLoop:
 
         tail_depth 0 = plain full-resolution path; 1-3 route the decoder
         tail through the packed lattices (pipeline.fused_tail_foreground)
-        — exact-math-equivalent, faster on TPU."""
+        — exact-math-equivalent, faster on TPU. Falls back to the plain
+        path when the model or image shape can't take the packed tail
+        (non-PVNet networks; dims not divisible by 8, e.g. truncated-split
+        crops)."""
+        from pvnet_tpu.models.pvnet import PVNet
+        if tail_depth > 0 and (not isinstance(self.model, PVNet)
+                               or hw[0] % 8 or hw[1] % 8):
+            tail_depth = 0
         params = vote_params or pl_mod.VoteParams()
         key = (hw, batch, uncertainty, params, tail_depth)
         if key not in self._eval_forward_cache:

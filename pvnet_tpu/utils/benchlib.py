@@ -16,13 +16,41 @@ import jax
 import jax.numpy as jnp
 
 
+# Perturbation scale per dtype: must exceed the dtype's relative ULP by a
+# comfortable margin or the multiply rounds back to bit-identical values
+# and the tunnel memoizes the "timed" dispatch against the warmup one.
+# Round 2 shipped exactly that bug: 1e-6 is ~260x BELOW the bf16 ULP
+# (2^-8 relative), so bf16 carries (the voting stage's vertex field) were
+# perturbed to identity and BENCH_r02 recorded 0.08 ms for a 16 ms stage.
+_PERTURB_EPS = {
+    jnp.dtype(jnp.bfloat16): 2.0 ** -6,   # ULP 2^-8  -> 4x margin
+    jnp.dtype(jnp.float16): 2.0 ** -9,    # ULP 2^-11 -> 4x margin
+}
+
+
 def _perturb(tree):
-    """New buffers, float leaves scaled by (1 + 1e-6): a distinct dispatch
-    with numerically equivalent work."""
+    """New buffers, float leaves scaled by (1 + eps(dtype)): a distinct
+    dispatch with a numerically equivalent compute envelope.
+
+    eps is dtype-aware (see _PERTURB_EPS); half dtypes scale in f32 so the
+    bump itself is exact before the final rounding cast. Guaranteed
+    bit-different for any non-zero finite leaf value
+    (tests/test_benchlib.py)."""
     def f(t):
         t = jnp.asarray(t)
         if jnp.issubdtype(t.dtype, jnp.floating):
-            return (t * (1 + 1e-6)).astype(t.dtype)
+            eps = _PERTURB_EPS.get(jnp.dtype(t.dtype), 1e-6)
+            if t.dtype.itemsize < 4:
+                y = (t.astype(jnp.float32) * (1.0 + eps)).astype(t.dtype)
+            else:
+                y = (t * (1.0 + eps)).astype(t.dtype)
+            # subnormal spacing is absolute, so the multiplicative bump can
+            # round back to identity there; step one representable value
+            # away from zero instead (smallest_subnormal = 1 ULP at 0)
+            tiny = jnp.asarray(jnp.finfo(t.dtype).smallest_subnormal,
+                               t.dtype)
+            stuck = (y == t) & (t != 0)
+            return jnp.where(stuck, t + jnp.where(t > 0, tiny, -tiny), y)
         return t
     return jax.tree.map(f, tree)
 

@@ -67,8 +67,56 @@ def test_quantized_model_close_to_float(small_pair):
     assert seg_q.shape == seg_f.shape and ver_q.shape == ver_f.shape
     rel = (np.linalg.norm(np.asarray(ver_q - ver_f))
            / max(np.linalg.norm(np.asarray(ver_f)), 1e-9))
-    assert rel < 0.15, rel   # random init; trained-ckpt metrics are
-    # checked on the real eval path (tools/envelope_study.py --quant)
+    assert rel < 0.15, rel   # random init; trained-ckpt parity is pinned
+    # by test_quant_trained_checkpoint below, and real eval-metric deltas
+    # come from `tools/envelope_study.py --quant` on the TPU
+
+
+def test_quant_batch_independent():
+    """Each image's quantized output must not depend on batchmates: the
+    activation scale is per-image (ADVICE r2 — a per-tensor absmax made
+    poses batch-composition-dependent)."""
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 16, 16, 32), jnp.float32)
+    # an extreme outlier image that would coarsen a shared scale 50x
+    x = x.at[1].mul(50.0)
+    mod = QConv(features=16, kernel_size=(3, 3), padding=[(1, 1)] * 2,
+                use_bias=False, quant=True)
+    v = mod.init(jax.random.PRNGKey(3), x)
+    y_pair = mod.apply(v, x)
+    y_solo = mod.apply(v, x[:1])
+    np.testing.assert_array_equal(np.asarray(y_pair[:1]),
+                                  np.asarray(y_solo))
+
+
+def test_quant_trained_checkpoint():
+    """Quantized forward stays close to float on the committed trained
+    weights (assets/duck_ckpt.msgpack), not just random init."""
+    import os
+    ckpt = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "assets", "duck_ckpt.msgpack")
+    if not os.path.exists(ckpt):
+        pytest.skip("no committed checkpoint")
+    from flax import serialization
+    mf = build_model("resnet18_8s", ver_dim=18, seg_dim=2)
+    mq = build_model("resnet18_8s", ver_dim=18, seg_dim=2,
+                     quant_stages=(2, 3))
+    x = jnp.asarray(np.random.RandomState(4).rand(1, 64, 64, 3) * 2 - 1,
+                    jnp.float32)
+    v = mf.init(jax.random.PRNGKey(4), x, train=False)
+    with open(ckpt, "rb") as f:
+        v = serialization.from_bytes(
+            {"params": v["params"], "batch_stats": v["batch_stats"]},
+            f.read())
+    seg_f, ver_f = mf.apply(v, x, train=False)
+    seg_q, ver_q = mq.apply(v, x, train=False)
+    rel = (np.linalg.norm(np.asarray(ver_q - ver_f, np.float32))
+           / max(np.linalg.norm(np.asarray(ver_f, np.float32)), 1e-9))
+    assert rel < 0.1, rel
+    # segmentation decisions must essentially agree
+    agree = np.mean(np.argmax(np.asarray(seg_q, np.float32), -1)
+                    == np.argmax(np.asarray(seg_f, np.float32), -1))
+    assert agree > 0.99, agree
 
 
 def test_training_path_ignores_quant(small_pair):

@@ -28,6 +28,13 @@ def main():
     ap.add_argument("--envelopes", default="128,256,512,1024",
                     help="comma list of hyp_num=max_num settings")
     ap.add_argument("--num_threads", type=int, default=4)
+    ap.add_argument("--quant", action="store_true",
+                    help="int8 PTQ on backbone layer3/layer4 "
+                         "(ops/quant_conv.py) — measures the trained-ckpt "
+                         "metric delta of the quantized inference path")
+    ap.add_argument("--tail_depth", type=int, default=0,
+                    choices=(0, 1, 2, 3),
+                    help="packed decoder tail depth (0 = plain)")
     args = ap.parse_args()
 
     from pvnet_tpu.utils.cache import enable_compilation_cache
@@ -39,6 +46,11 @@ def main():
     from pvnet_tpu.train.loop import TrainLoop
 
     cfg = TrainConfig.from_json(args.cfg_file)
+    if args.quant:
+        # param trees are identical (tests/test_quant_conv.py), so the
+        # float checkpoint restores into the quantized model unchanged
+        import dataclasses
+        cfg = dataclasses.replace(cfg, quant_stages=(2, 3))
     paths = PathConfig(data_dir=args.data_dir)
     loop = TrainLoop(cfg, args.cls, paths=paths)
     state = loop.init_state()
@@ -60,7 +72,7 @@ def main():
         evaluator = Evaluator(loop.object_meta())
         res = loop.validate(state, loader, epoch, prefix=f"env{n}",
                             evaluate_pose=True, evaluator=evaluator,
-                            vote_params=vp)
+                            vote_params=vp, tail_depth=args.tail_depth)
         rows.append({
             "hyp_num": n, "max_num": n,
             "proj": round(res[f"env{n}/scalar/projection_error"], 4),

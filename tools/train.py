@@ -28,10 +28,13 @@ def parse_args():
     p.add_argument("--test_model", action="store_true")
     p.add_argument("--use_test_set", action="store_true")
     p.add_argument("--use_uncertainty_pnp", action="store_true")
-    p.add_argument("--tail_depth", type=int, default=0,
+    p.add_argument("--tail_depth", type=int, default=3,
                    choices=(0, 1, 2, 3),
                    help="eval decoder tail: 0 plain; 1-3 packed "
-                        "lattice depth (ops/packed_tail.py)")
+                        "lattice depth (ops/packed_tail.py). Default 3 = "
+                        "the repo-wide packed default (exact-math, "
+                        "parity-tested, fastest measured — CLAUDE.md); "
+                        "matches bench.py/infer.py/export.py")
     p.add_argument("--load_epoch", type=int, default=-1)
     p.add_argument("--normal", action="store_true", default=True)
     p.add_argument("--no-normal", dest="normal", action="store_false")
