@@ -321,11 +321,15 @@ def main():
         # carry a float accumulator: it data-depends on each step's output
         # (chains the scan) and is perturbable by timeit_chained even when
         # the image is uint8 (keys and uint8 leaves pass _perturb
-        # unchanged — a (uint8, key) carry would re-memoize)
+        # unchanged — a (uint8, key) carry would re-memoize). The image
+        # fed to the pipeline must ALSO depend on the accumulator (dynamic
+        # batch roll) or XLA's while-loop LICM hoists the whole FCN
+        # forward out of the scan and reports fcn/iters as the stage cost.
         def unc_step(carry):
             img, k, acc = carry
             kk = jax.random.fold_in(k, acc.astype(jnp.int32))
-            pose_u, _ = unc(variables, img, kk)
+            rolled = jnp.roll(img, acc.astype(jnp.int32) % b, axis=0)
+            pose_u, _ = unc(variables, rolled, kk)
             return (img, k,
                     acc + 1.0 + pose_u.astype(jnp.float32).mean() * 1e-3)
 

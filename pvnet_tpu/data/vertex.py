@@ -69,3 +69,26 @@ def compute_vertex_targets(mask: jnp.ndarray, hcoords: jnp.ndarray,
     v = jnp.stack([vx, vy], axis=-1)                             # [b,h,w,k,2]
     v = v * (mask == 1)[..., None, None]
     return v.reshape(b, h, w, k * 2)
+
+
+def compute_vertex_targets_multiclass(mask: jnp.ndarray,
+                                      hcoords: jnp.ndarray) -> jnp.ndarray:
+    """Multi-class field targets: one SHARED [b, h, w, k*2] field where
+    each pixel's vectors point at the keypoints of its OWN class — the
+    semantics the multi-class voting layer assumes (it votes class c on
+    the pixels labeled c over the shared field, ref
+    ransac_voting_gpu.py:10-97; ops/voting.ransac_voting_multiclass).
+
+    Args:
+      mask:    [b, h, w] integer labels, 0 = background, 1..C = classes.
+      hcoords: [b, C, k, 3] per-class homogeneous keypoints.
+    Returns:
+      [b, h, w, k*2] float32, zero outside every class.
+    """
+    b, h, w = mask.shape
+    n_cls, k = hcoords.shape[1], hcoords.shape[2]
+    out = jnp.zeros((b, h, w, k * 2), jnp.float32)
+    for c in range(n_cls):   # static unroll; class regions are disjoint
+        out = out + compute_vertex_targets(
+            (mask == c + 1).astype(jnp.int32), hcoords[:, c])
+    return out

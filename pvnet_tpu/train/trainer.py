@@ -77,6 +77,11 @@ def _batch_vertex(batch: Dict[str, jnp.ndarray], use_motion: bool
     TPU tunnel costs seconds per batch)."""
     if "vertex" in batch:
         return batch["vertex"]
+    if batch["hcoords"].ndim == 4:      # [b, C, k, 3]: multi-class labels
+        assert not use_motion, "motion model + multi-class unsupported"
+        from pvnet_tpu.data.vertex import compute_vertex_targets_multiclass
+        return compute_vertex_targets_multiclass(batch["mask"],
+                                                 batch["hcoords"])
     from pvnet_tpu.data.vertex import compute_vertex_targets
     return compute_vertex_targets(batch["mask"], batch["hcoords"],
                                   use_motion)

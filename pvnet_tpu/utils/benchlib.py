@@ -58,9 +58,17 @@ def _perturb(tree):
 def timeit_chained(step_fn, init_carry, iters: int = 10) -> float:
     """Mean seconds/step of ``step_fn``: carry -> carry.
 
-    The step function itself must thread real data through its carry
-    (e.g. fold a scalar of its output into the next input) so the scan
-    steps cannot be elided."""
+    TWO requirements on the step function, both load-bearing:
+    1. It must thread real data through its carry (e.g. fold a scalar of
+       its output into the next input) so consecutive steps are chained.
+    2. EVERY expensive input must data-depend on the carry. XLA runs
+       loop-invariant code motion on the compiled while loop: a heavy
+       computation whose operands don't change across steps is hoisted
+       and computed ONCE (measured: a pose pipeline timed with a
+       loop-invariant image reported fcn_cost/iters — 2.5x fantasy
+       throughput). For an invariant tensor input, derive a per-step
+       variant from the carry, e.g. ``jnp.roll(x, acc.astype(int32) %
+       x.shape[0], axis=0)`` — identical compute, unhoistable."""
     @jax.jit
     def run(carry):
         out, _ = jax.lax.scan(lambda c, _: (step_fn(c), None), carry,
