@@ -182,6 +182,9 @@ def main():
                     help="int8 PTQ on backbone layer3/layer4 "
                          "(ops/quant_conv.py): ~86%% of backbone FLOPs "
                          "on the 2x-rate int8 MXU path")
+    ap.add_argument("--quant_stages", default="2,3",
+                    help="comma list of 0-based backbone stages to "
+                         "quantize with --quant (2,3 = layer3+layer4)")
     ap.add_argument("--bf16", action="store_true", default=True)
     ap.add_argument("--no-bf16", dest="bf16", action="store_false")
     ap.add_argument("--no-train", dest="train_bench", action="store_false",
@@ -209,7 +212,8 @@ def main():
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     stem = "packed4" if args.packed_stem else "conv7"
-    quant_stages = (2, 3) if args.quant else ()
+    quant_stages = tuple(
+        int(s) for s in args.quant_stages.split(",")) if args.quant else ()
     model = build_model("resnet18_8s", ver_dim=18, seg_dim=2, dtype=dtype,
                         head_layout="NCHW", stem=stem,
                         quant_stages=quant_stages)
@@ -271,6 +275,7 @@ def main():
         "packed_stem": bool(args.packed_stem),
         "prepacked": bool(args.prepacked),
         "quant": bool(args.quant),
+        "quant_stages": list(quant_stages),
     }
 
     if args.stages:

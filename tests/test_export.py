@@ -46,6 +46,25 @@ def test_export_roundtrip_matches_direct(tmp_path):
     assert pose_d.shape == pose1.shape
 
 
+def test_export_quant_roundtrip(tmp_path):
+    """int8-PTQ artifact: export with quant_stages baked in, deserialize,
+    run — the serving path for the measured 738 poses/s config."""
+    from jax import export as jexport
+    sys.path.insert(0, "tools")
+    from export import build_exported
+
+    rng = np.random.RandomState(1)
+    pts3d = rng.uniform(-0.05, 0.05, (9, 3)).astype(np.float32)
+    model = build_model("resnet18_8s", ver_dim=18, quant_stages=(2, 3))
+    img = jnp.asarray(rng.randn(1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(1), img, train=False)
+    exp = build_exported(model, variables, pts3d, LINEMOD_K, 1, 64, 64,
+                         vote_params=VoteParams(hyp_num=64, max_num=64))
+    fn = jexport.deserialize(exp.serialize())
+    pose, kps = fn.call(img, jnp.int32(3))
+    assert pose.shape == (1, 3, 4) and np.isfinite(np.asarray(pose)).all()
+
+
 def test_export_cli_roundtrip(tmp_path):
     out = tmp_path / "exp"
     env = {"JAX_PLATFORMS": "", "PATH": "/usr/bin:/bin:/usr/local/bin"}

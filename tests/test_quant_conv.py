@@ -119,6 +119,26 @@ def test_quant_trained_checkpoint():
     assert agree > 0.99, agree
 
 
+def test_quant_composes_with_packed_tail(small_pair):
+    """The production bench combination: int8 backbone stages + packed
+    decoder tail (the tail consumes the 8s features the quantized
+    backbone produces; bench.py --quant runs exactly this)."""
+    from pvnet_tpu import pipeline as pl_mod
+    from pvnet_tpu.ops import voting
+    mf, mq, v, x = small_pair
+    key = jax.random.PRNGKey(9)
+    fg_q = jax.jit(lambda v, x: pl_mod.fused_tail_foreground(
+        mq.apply, v, x, max_num=64, key=key, dtype=jnp.float32,
+        tail_depth=3))(v, x)
+    fg_f = jax.jit(lambda v, x: pl_mod.fused_tail_foreground(
+        mf.apply, v, x, max_num=64, key=key, dtype=jnp.float32,
+        tail_depth=3))(v, x)
+    kps_q = voting.ransac_voting_v3_from_fg(fg_q, key, hyp_num=32)
+    kps_f = voting.ransac_voting_v3_from_fg(fg_f, key, hyp_num=32)
+    assert np.asarray(kps_q).shape == np.asarray(kps_f).shape
+    assert np.isfinite(np.asarray(kps_q)).all()
+
+
 def test_training_path_ignores_quant(small_pair):
     """train=True must run the float path (identical outputs + grads)."""
     mf, mq, v, x = small_pair

@@ -35,6 +35,12 @@ def main():
     ap.add_argument("--tail_depth", type=int, default=0,
                     choices=(0, 1, 2, 3),
                     help="packed decoder tail depth (0 = plain)")
+    ap.add_argument("--weights", default=None,
+                    help="flax msgpack weights (e.g. "
+                         "assets/duck_ckpt.msgpack) instead of an orbax "
+                         "training checkpoint — the committed artifact "
+                         "works on the regenerated synthetic set (same "
+                         "generator seed)")
     args = ap.parse_args()
 
     from pvnet_tpu.utils.cache import enable_compilation_cache
@@ -54,11 +60,24 @@ def main():
     paths = PathConfig(data_dir=args.data_dir)
     loop = TrainLoop(cfg, args.cls, paths=paths)
     state = loop.init_state()
-    state, epoch = loop.resume(state)
-    if epoch == 0:
-        print("no checkpoint — train first", file=sys.stderr)
-        return 1
-    print(f"checkpoint epoch {epoch - 1}")
+    if args.weights:
+        import jax
+        from flax import serialization
+        with open(args.weights, "rb") as f:
+            restored = serialization.from_bytes(
+                {"params": state.params,
+                 "batch_stats": state.batch_stats}, f.read())
+        restored = jax.device_put(restored)
+        state = state.replace(params=restored["params"],
+                              batch_stats=restored["batch_stats"])
+        epoch = 1
+        print(f"weights from {args.weights}")
+    else:
+        state, epoch = loop.resume(state)
+        if epoch == 0:
+            print("no checkpoint — train first", file=sys.stderr)
+            return 1
+        print(f"checkpoint epoch {epoch - 1}")
 
     db = LineModImageDB(args.cls, has_render_set=False, has_fuse_set=False,
                         paths=paths)

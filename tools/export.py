@@ -85,6 +85,10 @@ def main():
     ap.add_argument("--packed_stem", action="store_true", default=False,
                     help="artifact takes raw uint8 images; pack+normalize "
                          "+ the folded packed stem run inside the program")
+    ap.add_argument("--quant", action="store_true", default=False,
+                    help="bake int8 PTQ backbone stages 2,3 into the "
+                         "artifact (ops/quant_conv.py; measured 738 vs "
+                         "649 poses/s e2e, metrics within noise)")
     args = ap.parse_args()
 
     from pvnet_tpu.utils.cache import enable_compilation_cache
@@ -115,11 +119,12 @@ def main():
     vn = points_3d.shape[0]
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    qs = (2, 3) if args.quant else ()
     model = build_model(args.network, ver_dim=2 * vn, seg_dim=2, dtype=dtype,
-                       head_layout="NCHW")
+                       head_layout="NCHW", quant_stages=qs)
     export_model = model if not args.packed_stem else build_model(
         args.network, ver_dim=2 * vn, seg_dim=2, dtype=dtype,
-        head_layout="NCHW", stem="packed4")
+        head_layout="NCHW", stem="packed4", quant_stages=qs)
     if args.checkpoint:
         from pvnet_tpu.train import trainer as trainer_mod
         from pvnet_tpu.train.checkpoint import load_net
@@ -156,6 +161,7 @@ def main():
         "network": args.network, "vn": vn, "uncertainty": args.uncertainty,
         "fused_tail": args.fused_tail,
         "tail_depth": args.tail_depth,
+        "quant": args.quant,
         "platforms": list(exp.platforms), "weights": src,
         "input_dtype": "uint8" if args.packed_stem else "float32",
         "points_3d": points_3d.tolist(),
