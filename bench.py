@@ -178,13 +178,24 @@ def main():
                          "[b, h/2, w/2, 12] uint8 (a numpy op at decode "
                          "time); the device only normalizes — isolates "
                          "the on-device s2d transpose cost")
-    ap.add_argument("--quant", action="store_true", default=False,
+    ap.add_argument("--quant", action="store_true", default=True,
                     help="int8 PTQ on backbone layer3/layer4 "
                          "(ops/quant_conv.py): ~86%% of backbone FLOPs "
-                         "on the 2x-rate int8 MXU path")
+                         "on the 2x-rate int8 MXU path. Default on: "
+                         "measured 738 vs 649 poses/s e2e with trained "
+                         "weights; occluded-split metrics within noise "
+                         "(proj -0.12pp / ADD +0.12pp over 1024 images)")
+    ap.add_argument("--no-quant", dest="quant", action="store_false")
     ap.add_argument("--quant_stages", default="2,3",
                     help="comma list of 0-based backbone stages to "
                          "quantize with --quant (2,3 = layer3+layer4)")
+    ap.add_argument("--quant_mode", default="dynamic",
+                    choices=("dynamic", "static"),
+                    help="activation scales: 'dynamic' = per-image absmax "
+                         "in-graph; 'static' = calibrated scalar per conv "
+                         "(quantize fuses into the producer — no absmax "
+                         "pass; ops/quant_conv.calibrate on one rendered "
+                         "batch)")
     ap.add_argument("--bf16", action="store_true", default=True)
     ap.add_argument("--no-bf16", dest="bf16", action="store_false")
     ap.add_argument("--no-train", dest="train_bench", action="store_false",
@@ -214,9 +225,11 @@ def main():
     stem = "packed4" if args.packed_stem else "conv7"
     quant_stages = tuple(
         int(s) for s in args.quant_stages.split(",")) if args.quant else ()
-    model = build_model("resnet18_8s", ver_dim=18, seg_dim=2, dtype=dtype,
-                        head_layout="NCHW", stem=stem,
-                        quant_stages=quant_stages)
+    model_kw = dict(ver_dim=18, seg_dim=2, dtype=dtype,
+                    head_layout="NCHW", stem=stem,
+                    quant_stages=quant_stages)
+    model = build_model("resnet18_8s", quant_mode=args.quant_mode,
+                        **model_kw)
     if args.packed_stem:
         # checkpoints are conv7-trained: load via a conv7 template, fold
         from pvnet_tpu.models.resnet import fold_stem_params
@@ -238,6 +251,18 @@ def main():
         image = build_inputs(args.batch, args.height, args.width)
         variables, weights_kind = load_weights(model, image,
                                                args.checkpoint)
+
+    if args.quant and args.quant_mode == "static":
+        from pvnet_tpu import pipeline as _pl
+        from pvnet_tpu.ops import quant_conv
+        calib_model = build_model("resnet18_8s", quant_mode="calibrate",
+                                  **model_kw)
+        calib_in = (jax.jit(_pl.normalize_packed_u8)(image)
+                    if args.packed_stem else image)
+        quant = quant_conv.calibrate(calib_model, variables, [calib_in],
+                                     train=False)
+        variables = dict(variables)
+        variables["quant"] = jax.device_put(quant)
 
     points_3d = np.loadtxt(
         "/root/reference/data/demo/cat_points_3d.txt").astype(np.float32)
@@ -276,6 +301,7 @@ def main():
         "prepacked": bool(args.prepacked),
         "quant": bool(args.quant),
         "quant_stages": list(quant_stages),
+        "quant_mode": args.quant_mode if args.quant else None,
     }
 
     if args.stages:

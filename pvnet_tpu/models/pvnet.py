@@ -112,6 +112,7 @@ class PVNet(nn.Module):
     # .quant_stages / ops/quant_conv.py); (2, 3) = layer3+layer4, the
     # backbone's ~86%-of-FLOPs dilated stages. () = float everywhere.
     quant_stages: Tuple[int, ...] = ()
+    quant_mode: str = "dynamic"   # see ops/quant_conv.Conv.mode
 
     @nn.compact
     def __call__(self, x, train: bool = False,
@@ -151,7 +152,8 @@ class PVNet(nn.Module):
                                   stage_sizes=self.stage_sizes,
                                   output_stride=8, dtype=self.dtype,
                                   stem=self.stem,
-                                  quant_stages=self.quant_stages)
+                                  quant_stages=self.quant_stages,
+                                  quant_mode=self.quant_mode)
         x2s, x4s, x8s, x16s, x32s = backbone(x_in, train=train)
 
         conv = partial(nn.Conv, dtype=self.dtype,
@@ -260,6 +262,7 @@ class PVNet2o(nn.Module):
     s2dim: int = 64
     dtype: Any = jnp.float32
     quant_stages: Tuple[int, ...] = ()   # see PVNet.quant_stages
+    quant_mode: str = "dynamic"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -270,7 +273,8 @@ class PVNet2o(nn.Module):
         backbone = ResNetBackbone(block=self.block,
                                   stage_sizes=self.stage_sizes,
                                   output_stride=8, dtype=self.dtype,
-                                  quant_stages=self.quant_stages)
+                                  quant_stages=self.quant_stages,
+                                  quant_mode=self.quant_mode)
         x2s, x4s, x8s, x16s, x32s = backbone(x_in, train=train)
 
         conv = partial(nn.Conv, dtype=self.dtype,

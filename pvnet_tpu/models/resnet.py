@@ -217,6 +217,7 @@ class ResNetBackbone(nn.Module):
     # dynamic per-tensor activation PTQ; param tree unchanged, so trained
     # checkpoints load as-is). Training always runs the float path.
     quant_stages: Sequence[int] = ()
+    quant_mode: str = "dynamic"   # ops/quant_conv.Conv.mode
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -259,7 +260,8 @@ class ResNetBackbone(nn.Module):
                 x = space_to_batch(x, dilation)
             if stage in self.quant_stages and not train:
                 from pvnet_tpu.ops.quant_conv import Conv as QConv
-                conv_s = partial(QConv, dtype=self.dtype, quant=True)
+                conv_s = partial(QConv, dtype=self.dtype, quant=True,
+                                 mode=self.quant_mode)
             else:
                 conv_s = conv
             for i in range(n_blocks):

@@ -38,8 +38,23 @@ class Conv(nn.Conv):
     With ``quant=False`` (default) it is exactly ``nn.Conv``. Parameters
     (names, shapes, dtypes, init) are identical either way, so the same
     variables tree serves both modes.
+
+    ``mode`` selects the activation-scale scheme:
+      - 'dynamic' (default): per-image absmax computed in-graph. Zero
+        calibration state, but each conv pays an extra full read of its
+        input for the reduction, and the quantize pass cannot start until
+        it finishes.
+      - 'calibrate': like dynamic, but also tracks the running absmax in a
+        ``quant`` variable collection (run a few batches with
+        ``mutable=['quant']`` — see :func:`calibrate`).
+      - 'static': uses the calibrated scalar scale. The quantize becomes a
+        pure elementwise chain with a compile-time-constant-shaped scalar,
+        so XLA fuses it into the producing op — no absmax pass, no extra
+        HBM round trip. Per-image determinism: results depend only on the
+        image (the ADVICE-r2 batch-composition concern does not apply).
     """
     quant: bool = False
+    mode: str = "dynamic"   # dynamic | calibrate | static
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -79,15 +94,23 @@ class Conv(nn.Conv):
         s_w = jnp.maximum(s_w, 1e-12) / 127.0          # [cout]
         k_i8 = jnp.clip(jnp.round(k / s_w), -127, 127).astype(jnp.int8)
 
-        # dynamic per-IMAGE symmetric activation scale: a per-tensor absmax
-        # would make each image's quantization (and pose) depend on which
-        # other images share the batch; conv is linear per image, so a
-        # [b,1,1,1] scale factored out is exact and costs the same single
-        # reduction (ADVICE r2)
         assert x.ndim == 4, "quant conv: NHWC 2D conv only"
         xf = x.astype(jnp.float32)
-        s_x = jnp.maximum(jnp.max(jnp.abs(xf), axis=(1, 2, 3),
-                                  keepdims=True), 1e-12) / 127.0
+        if self.mode == "dynamic":
+            # per-IMAGE symmetric scale: a per-tensor absmax would make
+            # each image's quantization (and pose) depend on which other
+            # images share the batch; conv is linear per image, so a
+            # [b,1,1,1] scale factored out is exact and costs the same
+            # single reduction (ADVICE r2)
+            s_x = jnp.maximum(jnp.max(jnp.abs(xf), axis=(1, 2, 3),
+                                      keepdims=True), 1e-12) / 127.0
+        else:
+            amax = self.variable("quant", "act_absmax",
+                                 lambda: jnp.zeros((), jnp.float32))
+            if self.mode == "calibrate":
+                amax.value = jnp.maximum(amax.value,
+                                         jnp.max(jnp.abs(xf)))
+            s_x = jnp.maximum(amax.value, 1e-12) / 127.0
         q = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
 
         dn = lax.conv_dimension_numbers(q.shape, k_i8.shape,
@@ -102,3 +125,26 @@ class Conv(nn.Conv):
                               self.param_dtype)
             out = out + bias.astype(jnp.float32)
         return out.astype(self.dtype)
+
+
+def calibrate(model, variables, batches, **apply_kw):
+    """Run calibration batches through a ``quant_mode='calibrate'`` model
+    and return the ``quant`` collection (running per-conv activation
+    absmax). Feed the returned collection to a ``quant_mode='static'``
+    model: ``model.apply({**variables, 'quant': quant}, x, train=False)``.
+
+    ``batches``: iterable of image arrays. A handful of representative
+    batches suffices (the scale only sets the clipping point). Both passes
+    are jitted — never run eager compute loops on this backend
+    (CLAUDE.md)."""
+    import jax
+
+    init = jax.jit(lambda v, x: model.apply(
+        v, x, mutable=["quant"], **apply_kw)[1]["quant"])
+    upd = jax.jit(lambda v, q, x: model.apply(
+        {**v, "quant": q}, x, mutable=["quant"], **apply_kw)[1]["quant"])
+    it = iter(batches)
+    quant = init(dict(variables), next(it))
+    for x in it:
+        quant = upd(dict(variables), quant, x)
+    return quant

@@ -151,8 +151,12 @@ def _sample_foreground_stratified(mask, vertex, tn, key) -> ForegroundSample:
     vn = (vertex.shape[1] // 2) if cmajor else vertex.shape[3]
     a, bb = _phase_grid(tn)
     on_tpu = jax.default_backend() == "tpu"
+    # Pallas TPU blocks need the second-minor (the a phase rows) to be a
+    # multiple of 8 — small budgets (tn=128 packed -> a=4) fall back to
+    # the XLA select rather than crash in Mosaic
+    pallas_ok = on_tpu and a % 8 == 0
     # the channel-major kernel competes on native 128-lane tiles
-    cmajor_kernel = cmajor and on_tpu and 128 % bb == 0
+    cmajor_kernel = cmajor and pallas_ok and 128 % bb == 0
     pad_h = (-h) % a
     pad_w = (-w) % (128 if cmajor_kernel else bb)
     fg = (mask != 0)
@@ -182,7 +186,7 @@ def _sample_foreground_stratified(mask, vertex, tn, key) -> ForegroundSample:
                 score, vertex.transpose(0, 2, 3, 1), a, bb)
     else:
         vflat = vertex.reshape(b, hp, wp, vn * 2)
-        if on_tpu:
+        if pallas_ok:
             best, idx, dirs = select_kernel.stratified_select(
                 score, vflat, a, bb)
         else:
@@ -317,7 +321,9 @@ def sample_foreground_packed(packed: jnp.ndarray, fgcnt: jnp.ndarray,
     tx_n = wp // bb
 
     from pvnet_tpu.ops import select_kernel
-    if jax.default_backend() == "tpu":
+    # a % 8: Pallas TPU second-minor block constraint (small budgets like
+    # tn=128 -> blocks=32 -> a=4 fall back to the XLA select)
+    if jax.default_backend() == "tpu" and a % 8 == 0:
         best, idx, rows = select_kernel.stratified_select(score, packed,
                                                           a, bb)
     else:

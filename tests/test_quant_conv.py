@@ -119,6 +119,50 @@ def test_quant_trained_checkpoint():
     assert agree > 0.99, agree
 
 
+def test_quant_static_mode_calibrated():
+    """Static calibrated scales: close to float, deterministic, and the
+    calibrate helper accumulates a running absmax per conv."""
+    from pvnet_tpu.ops.quant_conv import calibrate
+    rng = np.random.RandomState(6)
+    x1 = jnp.asarray(rng.randn(2, 16, 16, 32), jnp.float32)
+    x2 = jnp.asarray(rng.randn(2, 16, 16, 32) * 2.0, jnp.float32)
+    kw = dict(features=16, kernel_size=(3, 3), padding=[(1, 1)] * 2,
+              use_bias=False)
+    v = QConv(**kw).init(jax.random.PRNGKey(6), x1)
+    y_f = QConv(**kw).apply(v, x1)
+
+    calib = QConv(**kw, quant=True, mode="calibrate")
+    quant = calibrate(calib, v, [x1, x2])
+    amax = float(jax.tree_util.tree_leaves(quant)[0])
+    assert abs(amax - float(jnp.max(jnp.abs(x2)))) < 1e-5
+
+    static = QConv(**kw, quant=True, mode="static")
+    y_s = static.apply({**v, "quant": quant}, x1)
+    rel = (np.linalg.norm(np.asarray(y_s - y_f))
+           / np.linalg.norm(np.asarray(y_f)))
+    assert rel < 0.04, rel
+    # deterministic given the calibration
+    y_s2 = static.apply({**v, "quant": quant}, x1)
+    np.testing.assert_array_equal(np.asarray(y_s), np.asarray(y_s2))
+
+
+def test_quant_static_model_end_to_end(small_pair):
+    """quant_mode='static' through the full PVNet: calibrate on one batch,
+    run, compare against float (the bench --quant_mode static path)."""
+    from pvnet_tpu.ops.quant_conv import calibrate
+    mf, _, v, x = small_pair
+    mc = build_model("resnet18_8s", ver_dim=18, seg_dim=2,
+                     quant_stages=(2, 3), quant_mode="calibrate")
+    ms = build_model("resnet18_8s", ver_dim=18, seg_dim=2,
+                     quant_stages=(2, 3), quant_mode="static")
+    quant = calibrate(mc, v, [x], train=False)
+    seg_f, ver_f = mf.apply(v, x, train=False)
+    seg_s, ver_s = ms.apply({**v, "quant": quant}, x, train=False)
+    rel = (np.linalg.norm(np.asarray(ver_s - ver_f))
+           / max(np.linalg.norm(np.asarray(ver_f)), 1e-9))
+    assert rel < 0.2, rel
+
+
 def test_quant_composes_with_packed_tail(small_pair):
     """The production bench combination: int8 backbone stages + packed
     decoder tail (the tail consumes the 8s features the quantized
