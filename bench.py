@@ -201,9 +201,10 @@ def main():
     ap.add_argument("--no-train", dest="train_bench", action="store_false",
                     default=True, help="skip the training-throughput bench")
     ap.add_argument("--train_batch", type=int, default=16,
-                    help="training bench batch (synthetic_train recipe; "
-                         "the linemod recipe's 32 at full-res exceeds "
-                         "single-chip HBM with Adam state)")
+                    help="training bench batch. 16 (synthetic recipe) "
+                         "measured 33 imgs/s; the linemod recipe's 32 "
+                         "fits HBM but is SLOWER at full-res (25.2 "
+                         "imgs/s — measured, not assumed)")
     args = ap.parse_args()
 
     if args.prepacked and not args.packed_stem:
@@ -339,7 +340,28 @@ def main():
             "fcn_forward": round(t_fwd * 1e3, 2),
             "voting": round(t_vote * 1e3, 2),
             "pnp": round(t_pnp * 1e3, 2),
+            "sum": round((t_fwd + t_vote + t_pnp) * 1e3, 2),
         }
+
+        # The stages above decompose the PLAIN (full-resolution decoder)
+        # path; time that same path e2e so the sum is checkable against a
+        # real pipeline number (the headline may use the fused tail, which
+        # has no fcn/vote boundary to instrument).
+        plain = jax.jit(make_pose_pipeline(
+            model.apply, points_3d, LINEMOD_K, params=params,
+            fused_tail=False, raw_uint8=args.packed_stem))
+        kp = jax.random.PRNGKey(5)
+        for _ in range(2):
+            pose_p, _ = plain(variables, image, kp)
+            jax.block_until_ready(pose_p)
+        t0p = time.perf_counter()
+        for i in range(args.iters):
+            kp = jax.random.fold_in(kp, i + 1)
+            pose_p, _ = plain(variables, image, kp)
+        jax.block_until_ready(pose_p)
+        t_plain = (time.perf_counter() - t0p) / args.iters
+        record["plain_ms_per_batch"] = round(t_plain * 1e3, 2)
+        record["plain_poses_per_sec"] = round(b / t_plain, 2)
 
         # uncertainty PnP e2e — same packed-tail config as the main
         # pipeline (round-2 review: running it through the plain decoder

@@ -232,6 +232,50 @@ def make_pose_pipeline(apply_fn, points_3d, K,
     return run_fused if fused_tail else run
 
 
+def make_multiclass_pose_pipeline(apply_fn, points_3d_per_class, K,
+                                  params: VoteParams = VoteParams(),
+                                  refine_iter_num=None,
+                                  impl: Optional[str] = None):
+    """Fully fused multi-object inference: one forward, per-class voting
+    over the class-labeled argmax mask, one batched PnP per class.
+
+    The reference's analog loops python-side over classes and images
+    around ``ransac_voting_layer`` (ref ransac_voting_gpu.py:10-97); here
+    the class loop is a static unroll inside one XLA program
+    (ops/voting.ransac_voting_multiclass).
+
+    Args:
+      points_3d_per_class: [C, vn, 3] canonical keypoints per class
+        (class c = label c+1 in the segmentation; label 0 = background).
+    Returns:
+      f(variables, image [b,h,w,3], key) -> (poses [b, C, 3, 4],
+      kps [b, C, vn, 2]). The model must emit seg_dim = C+1 logits and a
+      shared vn*2 vertex field (see
+      data/vertex.compute_vertex_targets_multiclass).
+    """
+    pts = jnp.asarray(points_3d_per_class, jnp.float32)
+    C, vn = pts.shape[0], pts.shape[1]
+    K = jnp.asarray(K, jnp.float32)
+
+    def run(variables, image, key):
+        # predict_fields argmaxes the full label set (0..C) and keeps the
+        # vertex field in whichever layout the head emits (NHWC or NCHW —
+        # the voting layers accept both)
+        labels, vertex = predict_fields(apply_fn, variables, image)
+        kps = voting.ransac_voting_multiclass(
+            labels, vertex, key, class_num=C + 1, hyp_num=params.hyp_num,
+            inlier_thresh=(None if refine_iter_num is not None
+                           else params.inlier_thresh),
+            max_num=params.max_num, min_num=params.min_num,
+            refine_iter_num=refine_iter_num, impl=impl)   # [b, C, vn, 2]
+        poses = jnp.stack(
+            [pnp_mod.pnp_batch(pts[c], kps[:, c], K) for c in range(C)],
+            axis=1)
+        return poses, kps
+
+    return run
+
+
 def make_sharded_pose_pipeline(mesh, apply_fn, points_3d, K,
                                params: VoteParams = VoteParams(),
                                uncertainty: bool = False,

@@ -109,6 +109,45 @@ def test_multiclass_train_step_runs(scene):
     assert max(jax.tree_util.tree_leaves(d)) > 0
 
 
+def test_multiclass_pose_pipeline_api(scene):
+    """pipeline.make_multiclass_pose_pipeline on GT fields: one jitted
+    program emits per-class poses that reproduce the GT poses."""
+    from pvnet_tpu import pipeline as pl_mod
+    classes, metas, mp, _, label, K = scene
+    C = len(classes)
+    k = metas[0].points_3d.shape[0]
+    hc = np.empty((1, C, k, 3), np.float32)
+    poses_gt = np.empty((C, 3, 4), np.float32)
+    for c, (_, pose) in enumerate(mp):
+        p2d = project_np(metas[c].points_3d, pose, K)
+        hc[0, c] = np.concatenate([p2d, np.ones((k, 1), np.float32)], 1)
+        poses_gt[c] = pose
+    vertex = compute_vertex_targets_multiclass(
+        jnp.asarray(label[None].astype(np.int32)), jnp.asarray(hc))
+    vertex = np.asarray(vertex)
+
+    # a fake apply_fn returning GT logits/fields (model-free API test)
+    onehot = jax.nn.one_hot(label[None].astype(np.int32), C + 1) * 10.0
+
+    def apply_fn(variables, image, train=False):
+        return onehot, jnp.asarray(vertex)
+
+    pts = np.stack([m.points_3d for m in metas])
+    run = jax.jit(pl_mod.make_multiclass_pose_pipeline(
+        apply_fn, pts, K, params=pl_mod.VoteParams(hyp_num=256,
+                                                   max_num=256)))
+    poses, kps = run({}, jnp.zeros((1, H, W, 3)), jax.random.PRNGKey(2))
+    poses = np.asarray(poses)[0]          # [C, 3, 4]
+    assert poses.shape == (C, 3, 4)
+    for c in range(C):
+        # rotation within a few degrees, translation within ~1 cm
+        cos = (np.trace(poses[c, :, :3].T @ poses_gt[c, :, :3]) - 1) / 2
+        ang = np.degrees(np.arccos(np.clip(cos, -1, 1)))
+        assert ang < 5.0, (metas[c].name, ang)
+        assert np.linalg.norm(poses[c, :, 3] - poses_gt[c, :, 3]) < 0.02, \
+            metas[c].name
+
+
 def test_symmetric_adds_branch(scene):
     """A box pose rotated by its own 90-degree symmetry: plain ADD fails,
     ADD-S passes — the branch the symmetric flag selects
