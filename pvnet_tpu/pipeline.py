@@ -27,10 +27,19 @@ class VoteParams(NamedTuple):
     reference's demo (512 hyps, ref demo.py:55) and its eval paths
     (128/round with early stop — typically 128-256 effective — and a
     100-pixel budget on the uncertainty path, ref train_linemod.py:
-    104-106). A trained-model study on the 200-image synthetic test set
-    measured proj/ADD/5cm5deg at 256/512/1024 hyp+budget identical within
-    sampling noise (ADD 25.5/30.0/27.0), so the smaller envelope is free
-    throughput. Raise hyp_num/max_num for harder data."""
+    104-106). Two trained-model sweeps (tools/envelope_study.py,
+    studies/envelope.md):
+
+    - clean synthetic test set (200 imgs): 256/512/1024 identical within
+      sampling noise (ADD 25.5/30.0/27.0) — the envelope saturates early
+      when masks are intact.
+    - occluded synthetic test set (410 imgs, fragmented masks): proj
+      saturates at 512 (57.3/57.7/58.7/58.5/58.8 % for 128..2048) but
+      ADD keeps climbing (42.4/47.6/49.8/50.6/51.7 %). 512→1024 buys
+      +0.85 pt ADD for 4x the vote-count work (~16→~64 ms of a ~197 ms
+      batch, i.e. ~-12% e2e throughput); 512 stays the default knee.
+      Raise hyp_num/max_num for heavily occluded data where ADD matters
+      more than throughput."""
     hyp_num: int = 512
     inlier_thresh: float = 0.99
     max_num: int = 512
