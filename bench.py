@@ -189,6 +189,13 @@ def main():
     ap.add_argument("--quant_stages", default="2,3",
                     help="comma list of 0-based backbone stages to "
                          "quantize with --quant (2,3 = layer3+layer4)")
+    ap.add_argument("--quant_tail", action="store_true", default=False,
+                    help="int8 the packed-tail stage convs too "
+                         "(ops/packed_tail.run_packed_stage(quant=True): "
+                         "per-image dynamic scales)")
+    ap.add_argument("--quant_decoder", action="store_true", default=False,
+                    help="int8 the decoder fc/8s convs (models/pvnet.py "
+                         "quant_decoder)")
     ap.add_argument("--quant_mode", default="dynamic",
                     choices=("dynamic", "static"),
                     help="activation scales: 'dynamic' = per-image absmax "
@@ -228,7 +235,8 @@ def main():
         int(s) for s in args.quant_stages.split(",")) if args.quant else ()
     model_kw = dict(ver_dim=18, seg_dim=2, dtype=dtype,
                     head_layout="NCHW", stem=stem,
-                    quant_stages=quant_stages)
+                    quant_stages=quant_stages,
+                    quant_decoder=bool(args.quant and args.quant_decoder))
     model = build_model("resnet18_8s", quant_mode=args.quant_mode,
                         **model_kw)
     if args.packed_stem:
@@ -269,10 +277,11 @@ def main():
         "/root/reference/data/demo/cat_points_3d.txt").astype(np.float32)
 
     params = VoteParams()   # production envelope (see VoteParams doc)
+    tail_quant = bool(args.quant and args.quant_tail)
     pipeline = make_pose_pipeline(
         model.apply, points_3d, LINEMOD_K, params=params,
         fused_tail=args.fused_tail, tail_depth=args.tail_depth,
-        raw_uint8=args.packed_stem)
+        tail_quant=tail_quant, raw_uint8=args.packed_stem)
     run = jax.jit(pipeline)
 
     key = jax.random.PRNGKey(1)
@@ -302,6 +311,8 @@ def main():
         "prepacked": bool(args.prepacked),
         "quant": bool(args.quant),
         "quant_stages": list(quant_stages),
+        "quant_tail": tail_quant,
+        "quant_decoder": bool(args.quant and args.quant_decoder),
         "quant_mode": args.quant_mode if args.quant else None,
     }
 
@@ -369,7 +380,8 @@ def main():
         unc = jax.jit(make_pose_pipeline(
             model.apply, points_3d, LINEMOD_K, params=params,
             uncertainty=True, fused_tail=args.fused_tail,
-            tail_depth=args.tail_depth, raw_uint8=args.packed_stem))
+            tail_depth=args.tail_depth, tail_quant=tail_quant,
+            raw_uint8=args.packed_stem))
 
         # carry a float accumulator: it data-depends on each step's output
         # (chains the scan) and is perturbable by timeit_chained even when

@@ -176,6 +176,11 @@ class TrainConfig:
     # Backbone stages to run int8 PTQ at inference (ops/quant_conv.py);
     # e.g. [2, 3] = layer3+layer4. Training always runs float.
     quant_stages: tuple = ()
+    # int8 the decoder fc/8s convs at inference (models/pvnet.py
+    # quant_decoder) and the packed-tail stage convs
+    # (ops/packed_tail.run_packed_stage(quant=True))
+    quant_decoder: bool = False
+    quant_tail: bool = False
 
     lr: float = 1e-3
     lr_decay_rate: float = 0.5

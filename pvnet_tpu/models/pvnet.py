@@ -113,6 +113,13 @@ class PVNet(nn.Module):
     # backbone's ~86%-of-FLOPs dilated stages. () = float everywhere.
     quant_stages: Tuple[int, ...] = ()
     quant_mode: str = "dynamic"   # see ops/quant_conv.Conv.mode
+    # int8 the decoder's two 128-multiple-channel convs (the fc head
+    # Conv_0, 512->fcdim, and the 8s stage Conv_1, (fcdim+256)->s8dim) at
+    # inference. The remaining decoder convs are either folded into the
+    # packed tail (which has its own quant switch — ops/packed_tail.py
+    # run_packed_stage(quant=True)) or lane-padded small-channel convs
+    # where int8 buys nothing. Same param tree either way.
+    quant_decoder: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False,
@@ -158,17 +165,24 @@ class PVNet(nn.Module):
 
         conv = partial(nn.Conv, dtype=self.dtype,
                        kernel_init=he_fanout_normal())
+        if self.quant_decoder and not train:
+            from pvnet_tpu.ops.quant_conv import Conv as QConv
+            dconv = partial(QConv, dtype=self.dtype,
+                            kernel_init=he_fanout_normal(), quant=True,
+                            mode=self.quant_mode)
+        else:
+            dconv = conv
         norm = partial(nn.BatchNorm, use_running_average=not train,
                        momentum=0.9, epsilon=1e-5, dtype=self.dtype)
         lrelu = partial(nn.leaky_relu, negative_slope=0.1)
 
         # fc head (ref model_repository.py:22-26)
-        xfc = conv(self.fcdim, (3, 3), padding=[(1, 1)] * 2,
-                   use_bias=False)(x32s)
+        xfc = dconv(self.fcdim, (3, 3), padding=[(1, 1)] * 2,
+                    use_bias=False)(x32s)
         xfc = nn.relu(norm()(xfc))
 
         # 8s -> 4s (ref :30-35)
-        fm = conv(self.s8dim, (3, 3), padding=[(1, 1)] * 2, use_bias=False)(
+        fm = dconv(self.s8dim, (3, 3), padding=[(1, 1)] * 2, use_bias=False)(
             jnp.concatenate([xfc, x8s], axis=-1))
         fm = lrelu(norm()(fm))
         if return_8s_features:

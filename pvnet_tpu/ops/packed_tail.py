@@ -492,7 +492,8 @@ fold_packed_conv2s = fold_packed_stage
 def run_packed_stage(fm: jnp.ndarray, skip: jnp.ndarray,
                      cp: PackedStageParams, alpha: float = 0.1,
                      dtype=jnp.bfloat16,
-                     fm_packed: bool = False) -> jnp.ndarray:
+                     fm_packed: bool = False,
+                     quant: bool = False) -> jnp.ndarray:
     """One packed decoder stage.
 
     Args:
@@ -512,13 +513,24 @@ def run_packed_stage(fm: jnp.ndarray, skip: jnp.ndarray,
         up = phase_upsample_from_packed(fm, cp.ah, cp.aw, dtype)
     else:
         up = phase_upsample_packed(fm, cp.ah, cp.aw, dtype)
-    acc_t = jnp.float32 if dtype == jnp.float32 else dtype
-    y = jax.lax.conv_general_dilated(
-        up, cp.w_fm.astype(dtype), (1, 1), [(0, 0), (0, 0)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=acc_t)
-    # skip term reads the unpacked skip directly (see _fold_conv_direct)
-    y = y + _conv_skip_direct(skip, cp.w_skip, dtype, acc_t)  # [b,h4,w4,4co]
+    if quant:
+        # int8 both convs (ops/quant_conv.conv2d_int8): per-image dynamic
+        # activation scales, per-out-channel weight scales, exact int32
+        # accumulation. The stage convs are MXU-bound on 128-aligned
+        # lattices, so the 2x int8 MXU rate dominates the extra absmax
+        # read (measured e2e — see bench.py --quant_tail).
+        from pvnet_tpu.ops.quant_conv import conv2d_int8
+        acc_t = jnp.float32
+        y = conv2d_int8(up, cp.w_fm)
+        y = y + conv2d_int8(skip, cp.w_skip, (2, 2), ((1, 1), (1, 1)))
+    else:
+        acc_t = jnp.float32 if dtype == jnp.float32 else dtype
+        y = jax.lax.conv_general_dilated(
+            up, cp.w_fm.astype(dtype), (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=acc_t)
+        # skip term reads the unpacked skip directly (_fold_conv_direct)
+        y = y + _conv_skip_direct(skip, cp.w_skip, dtype, acc_t)
     y = y * cp.scale4.astype(acc_t) + cp.bias4.astype(acc_t)
     y = jnp.where(y > 0, y, jnp.asarray(alpha, acc_t) * y)
     return y.astype(dtype)
@@ -530,7 +542,8 @@ run_packed_conv2s = run_packed_stage
 def run_packed_tail(fm: jnp.ndarray, image: jnp.ndarray,
                     tp: PackedTailParams, alpha: float = 0.1,
                     dtype=jnp.bfloat16, out_dtype=jnp.float32,
-                    fm_packed: bool = False
+                    fm_packed: bool = False,
+                    quant: bool = False
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Packed tail forward.
 
@@ -548,13 +561,21 @@ def run_packed_tail(fm: jnp.ndarray, image: jnp.ndarray,
     else:
         up = phase_upsample_packed(fm, tp.ah, tp.aw, dtype)  # [b,h2+1,w2+1,4c]
 
-    # accumulate in f32 (MXU default for bf16 inputs) but emit the compute
-    # dtype: the f32 [b, h2, w2, 4c] round trip costs a full extra pass
-    acc_t = jnp.float32 if dtype == jnp.float32 else dtype
-    y = jax.lax.conv_general_dilated(
-        up, tp.w_fm.astype(dtype), (1, 1), [(0, 0), (0, 0)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=acc_t)
+    if quant:
+        # int8 feature-term conv (the tail's dominant MXU op); the rgb
+        # term below stays float — cin=3, FLOP-wise noise
+        from pvnet_tpu.ops.quant_conv import conv2d_int8
+        acc_t = jnp.float32
+        y = conv2d_int8(up, tp.w_fm)
+    else:
+        # accumulate in f32 (MXU default for bf16 inputs) but emit the
+        # compute dtype: the f32 [b, h2, w2, 4c] round trip costs a full
+        # extra pass
+        acc_t = jnp.float32 if dtype == jnp.float32 else dtype
+        y = jax.lax.conv_general_dilated(
+            up, tp.w_fm.astype(dtype), (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=acc_t)
     # rgb term: direct stride-2 conv on full-res rgb, or — for an
     # already-packed [b, h2, w2, 12] image (packed-stem pipelines) — the
     # refolded 3x3 on the packed lattice (see _fold_direct_to_packed3)
@@ -579,7 +600,8 @@ def run_packed_tail(fm: jnp.ndarray, image: jnp.ndarray,
 
 
 def packed_tail_from_variables(variables, fm, image, alpha: float = 0.1,
-                               dtype=jnp.bfloat16, out_dtype=None):
+                               dtype=jnp.bfloat16, out_dtype=None,
+                               quant: bool = False):
     """Convenience: fold PVNet raw-stage variables (Conv_4/BatchNorm_4/
     Conv_5, models/pvnet.py naming) and run the packed tail."""
     p = variables["params"]
@@ -594,12 +616,13 @@ def packed_tail_from_variables(variables, fm, image, alpha: float = 0.1,
     if out_dtype is None:
         out_dtype = jnp.float32 if dtype == jnp.float32 else dtype
     return run_packed_tail(fm, image, tp, alpha=alpha, dtype=dtype,
-                           out_dtype=out_dtype)
+                           out_dtype=out_dtype, quant=quant)
 
 
 def packed_tail_deep_from_variables(variables, fm4, x2s, image,
                                     alpha: float = 0.1,
-                                    dtype=jnp.bfloat16, out_dtype=None):
+                                    dtype=jnp.bfloat16, out_dtype=None,
+                                    quant: bool = False):
     """Convenience: fold BOTH the 2s decoder stage (Conv_3/BatchNorm_3,
     models/pvnet.py naming) and the raw tail (Conv_4/BatchNorm_4/Conv_5),
     then run 4s features -> packed head fields with every intermediate on
@@ -617,7 +640,8 @@ def packed_tail_deep_from_variables(variables, fm4, x2s, image,
         p["Conv_3"]["kernel"], p["BatchNorm_3"]["scale"],
         p["BatchNorm_3"]["bias"], bs["BatchNorm_3"]["mean"],
         bs["BatchNorm_3"]["var"], fm4.shape[-1], h2, w2)
-    fm2p = run_packed_stage(fm4, x2s, cp, alpha=alpha, dtype=dtype)
+    fm2p = run_packed_stage(fm4, x2s, cp, alpha=alpha, dtype=dtype,
+                            quant=quant)
     tp = fold_packed_tail(
         p["Conv_4"]["kernel"], p["BatchNorm_4"]["scale"],
         p["BatchNorm_4"]["bias"], bs["BatchNorm_4"]["mean"],
@@ -627,12 +651,13 @@ def packed_tail_deep_from_variables(variables, fm4, x2s, image,
     if out_dtype is None:
         out_dtype = jnp.float32 if dtype == jnp.float32 else dtype
     return run_packed_tail(fm2p, image, tp, alpha=alpha, dtype=dtype,
-                           out_dtype=out_dtype, fm_packed=True)
+                           out_dtype=out_dtype, fm_packed=True, quant=quant)
 
 
 def packed_tail_deep3_from_variables(variables, fm8, x4s, x2s, image,
                                      alpha: float = 0.1,
-                                     dtype=jnp.bfloat16, out_dtype=None):
+                                     dtype=jnp.bfloat16, out_dtype=None,
+                                     quant: bool = False):
     """Deepest packed path: fold the 4s stage (Conv_2/BatchNorm_2), the 2s
     stage (Conv_3/BatchNorm_3) and the raw tail, then run 8s features ->
     packed head fields entirely on 128-aligned packed lattices. The
@@ -651,14 +676,15 @@ def packed_tail_deep3_from_variables(variables, fm8, x4s, x2s, image,
         p["BatchNorm_2"]["bias"], bs["BatchNorm_2"]["mean"],
         bs["BatchNorm_2"]["var"], fm8.shape[-1],
         x4s.shape[1], x4s.shape[2])
-    fm4p = run_packed_stage(fm8, x4s, cp4, alpha=alpha, dtype=dtype)
+    fm4p = run_packed_stage(fm8, x4s, cp4, alpha=alpha, dtype=dtype,
+                            quant=quant)
     s4dim = p["Conv_2"]["kernel"].shape[3]
     cp2 = fold_packed_stage(
         p["Conv_3"]["kernel"], p["BatchNorm_3"]["scale"],
         p["BatchNorm_3"]["bias"], bs["BatchNorm_3"]["mean"],
         bs["BatchNorm_3"]["var"], s4dim, h2, w2)
     fm2p = run_packed_stage(fm4p, x2s, cp2, alpha=alpha, dtype=dtype,
-                            fm_packed=True)
+                            fm_packed=True, quant=quant)
     tp = fold_packed_tail(
         p["Conv_4"]["kernel"], p["BatchNorm_4"]["scale"],
         p["BatchNorm_4"]["bias"], bs["BatchNorm_4"]["mean"],
@@ -668,4 +694,4 @@ def packed_tail_deep3_from_variables(variables, fm8, x4s, x2s, image,
     if out_dtype is None:
         out_dtype = jnp.float32 if dtype == jnp.float32 else dtype
     return run_packed_tail(fm2p, image, tp, alpha=alpha, dtype=dtype,
-                           out_dtype=out_dtype, fm_packed=True)
+                           out_dtype=out_dtype, fm_packed=True, quant=quant)

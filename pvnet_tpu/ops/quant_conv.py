@@ -127,6 +127,41 @@ class Conv(nn.Conv):
         return out.astype(self.dtype)
 
 
+def conv2d_int8(x, w, strides=(1, 1), padding=((0, 0), (0, 0)),
+                rhs_dilation=None, s_x=None):
+    """Functional int8 symmetric-PTQ NHWC conv (same scheme as ``Conv``).
+
+    For compute paths that are plain ``lax`` ops rather than Flax modules
+    (the packed inference tail, ops/packed_tail.py). Weights get a
+    per-output-channel absmax/127 scale quantized in-graph; activations a
+    per-image [b, 1, 1, 1] absmax/127 scale (``s_x=None``, the default —
+    per-image keeps results independent of batch composition, ADVICE r2)
+    or a caller-supplied static scale (scalar or [b,1,1,1]), in which case
+    the quantize is a pure elementwise chain XLA fuses into the producer.
+
+    Args:
+      x: [b, h, w, cin] float input.
+      w: [kh, kw, cin, cout] float kernel.
+    Returns the conv result in float32 (exact int32 accumulation,
+    dequantized) — no bias, no activation."""
+    xf = x.astype(jnp.float32)
+    wf = jnp.asarray(w, jnp.float32)
+    s_w = jnp.maximum(jnp.max(jnp.abs(wf), axis=(0, 1, 2)), 1e-12) / 127.0
+    w_i8 = jnp.clip(jnp.round(wf / s_w), -127, 127).astype(jnp.int8)
+    if s_x is None:
+        s_x = jnp.maximum(jnp.max(jnp.abs(xf), axis=(1, 2, 3),
+                                  keepdims=True), 1e-12) / 127.0
+    else:
+        s_x = jnp.asarray(s_x, jnp.float32)
+    q = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+    y = lax.conv_general_dilated(
+        q, w_i8, strides, padding, rhs_dilation=rhs_dilation,
+        dimension_numbers=lax.conv_dimension_numbers(
+            q.shape, w_i8.shape, ("NHWC", "HWIO", "NHWC")),
+        preferred_element_type=jnp.int32)
+    return y.astype(jnp.float32) * (s_x * s_w)
+
+
 def calibrate(model, variables, batches, **apply_kw):
     """Run calibration batches through a ``quant_mode='calibrate'`` model
     and return the ``quant`` collection (running per-conv activation

@@ -144,7 +144,8 @@ def poses_from_keypoints(points_3d: jnp.ndarray, kps_2d: jnp.ndarray,
 
 def fused_tail_foreground(apply_fn, variables, image: jnp.ndarray,
                           max_num: int, key: jax.Array,
-                          dtype=jnp.bfloat16, tail_depth: int = 1):
+                          dtype=jnp.bfloat16, tail_depth: int = 1,
+                          tail_quant: bool = False):
     """Foreground sample via the packed inference tail (ops/packed_tail.py).
 
     Runs the FCN to the 2s stage (tail_depth=1), the 4s stage
@@ -165,17 +166,17 @@ def fused_tail_foreground(apply_fn, variables, image: jnp.ndarray,
         fm8, x4s, x2s = apply_fn(variables, image, train=False,
                                  return_8s_features=True)
         packed, fgcnt = packed_tail.packed_tail_deep3_from_variables(
-            variables, fm8, x4s, x2s, image, dtype=dtype)
+            variables, fm8, x4s, x2s, image, dtype=dtype, quant=tail_quant)
     elif tail_depth == 2:
         fm4, x2s = apply_fn(variables, image, train=False,
                             return_4s_features=True)
         packed, fgcnt = packed_tail.packed_tail_deep_from_variables(
-            variables, fm4, x2s, image, dtype=dtype)
+            variables, fm4, x2s, image, dtype=dtype, quant=tail_quant)
     else:
         fm = apply_fn(variables, image, train=False,
                       return_2s_features=True)
         packed, fgcnt = packed_tail.packed_tail_from_variables(
-            variables, fm, image, dtype=dtype)
+            variables, fm, image, dtype=dtype, quant=tail_quant)
     return voting.sample_foreground_packed(packed, fgcnt, max_num, key)
 
 
@@ -186,6 +187,7 @@ def make_pose_pipeline(apply_fn, points_3d, K,
                        fused_tail: bool = False,
                        tail_depth: int = 1,
                        tail_dtype=jnp.bfloat16,
+                       tail_quant: bool = False,
                        raw_uint8: bool = False):
     """Build the fully fused image->pose function.
 
@@ -211,7 +213,8 @@ def make_pose_pipeline(apply_fn, points_3d, K,
         k0, k1, k2 = jax.random.split(key, 3)
         fg = fused_tail_foreground(apply_fn, variables, image,
                                    params.max_num, k0, dtype=tail_dtype,
-                                   tail_depth=tail_depth)
+                                   tail_depth=tail_depth,
+                                   tail_quant=tail_quant)
         kps = voting.ransac_voting_v3_from_fg(
             fg, k1, hyp_num=params.hyp_num,
             inlier_thresh=params.inlier_thresh, min_num=params.min_num,
@@ -292,6 +295,7 @@ def make_sharded_pose_pipeline(mesh, apply_fn, points_3d, K,
                                fused_tail: bool = False,
                                tail_depth: int = 1,
                                tail_dtype=jnp.bfloat16,
+                               tail_quant: bool = False,
                                raw_uint8: bool = False):
     """Data-parallel fused inference over a device mesh.
 
@@ -306,6 +310,6 @@ def make_sharded_pose_pipeline(mesh, apply_fn, points_3d, K,
     run = make_pose_pipeline(apply_fn, points_3d, K, params, uncertainty,
                              impl, fused_tail=fused_tail,
                              tail_depth=tail_depth, tail_dtype=tail_dtype,
-                             raw_uint8=raw_uint8)
+                             tail_quant=tail_quant, raw_uint8=raw_uint8)
     return jax.jit(run, in_shardings=(repl, data, repl),
                    out_shardings=(data, data))

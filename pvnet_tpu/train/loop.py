@@ -63,11 +63,14 @@ class TrainLoop:
         self.paths = paths or PathConfig()
         self.vote_type = cfg.vote_type
         self.vote_num = VotingType.vote_num(cfg.vote_type)
+        model_kw = dict(quant_stages=tuple(cfg.quant_stages))
+        if cfg.quant_decoder:
+            # only the PVNet family takes it; build_model forwards **kw
+            model_kw["quant_decoder"] = True
         self.model = build_model(cfg.network, ver_dim=self.vote_num * 2,
                                  seg_dim=2,
                                  dtype=jnp.bfloat16 if cfg.bf16
-                                 else jnp.float32,
-                                 quant_stages=tuple(cfg.quant_stages))
+                                 else jnp.float32, **model_kw)
         self.model_name = f"{cls_name}_{cfg.model_name}"
         self.model_dir = os.path.join(self.paths.model_dir, self.model_name)
         self.recorder = Recorder(os.path.join(self.paths.record_dir,
@@ -283,7 +286,8 @@ class TrainLoop:
         return state
 
     def eval_pipeline(self, hw, batch: int, uncertainty: bool,
-                      vote_params=None, tail_depth: int = 0):
+                      vote_params=None, tail_depth: int = 0,
+                      tail_quant: bool = False):
         """Jitted forward+vote per image shape (cached).
 
         tail_depth 0 = plain full-resolution path; 1-3 route the decoder
@@ -297,7 +301,7 @@ class TrainLoop:
                                or hw[0] % 8 or hw[1] % 8):
             tail_depth = 0
         params = vote_params or pl_mod.VoteParams()
-        key = (hw, batch, uncertainty, params, tail_depth)
+        key = (hw, batch, uncertainty, params, tail_depth, tail_quant)
         if key not in self._eval_forward_cache:
 
             def fwd(variables, image, rngkey):
@@ -306,7 +310,8 @@ class TrainLoop:
                     k0, k1, k2 = jax.random.split(rngkey, 3)
                     fg = pl_mod.fused_tail_foreground(
                         self.model.apply, variables, image, params.max_num,
-                        k0, dtype=self.model.dtype, tail_depth=tail_depth)
+                        k0, dtype=self.model.dtype, tail_depth=tail_depth,
+                        tail_quant=tail_quant)
                     kps = voting.ransac_voting_v3_from_fg(
                         fg, k1, hyp_num=params.hyp_num,
                         inlier_thresh=params.inlier_thresh,
@@ -334,7 +339,8 @@ class TrainLoop:
                  use_camera_intrinsic: bool = False,
                  evaluator: Optional[Evaluator] = None,
                  save_inter_dir: Optional[str] = None,
-                 vote_params=None, tail_depth: int = 0):
+                 vote_params=None, tail_depth: int = 0,
+                 tail_quant: bool = False):
         """(ref val() :177-253) — loss metrics always; pose metrics when
         evaluate_pose."""
         import functools
@@ -360,7 +366,8 @@ class TrainLoop:
             if evaluate_pose and evaluator is not None:
                 b, h, w = dev["mask"].shape
                 fwd = self.eval_pipeline((h, w), b, uncertainty,
-                                         vote_params, tail_depth)
+                                         vote_params, tail_depth,
+                                         tail_quant)
                 variables = {"params": state.params,
                              "batch_stats": state.batch_stats}
                 key = jax.random.fold_in(key, bidx)

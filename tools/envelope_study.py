@@ -32,6 +32,13 @@ def main():
                     help="int8 PTQ on backbone layer3/layer4 "
                          "(ops/quant_conv.py) — measures the trained-ckpt "
                          "metric delta of the quantized inference path")
+    ap.add_argument("--quant_decoder", action="store_true",
+                    help="with --quant: int8 the decoder fc/8s convs too "
+                         "(models/pvnet.py quant_decoder)")
+    ap.add_argument("--quant_tail", action="store_true",
+                    help="with --quant and --tail_depth>0: int8 the "
+                         "packed-tail stage convs "
+                         "(ops/packed_tail.run_packed_stage(quant=True))")
     ap.add_argument("--tail_depth", type=int, default=0,
                     choices=(0, 1, 2, 3),
                     help="packed decoder tail depth (0 = plain)")
@@ -56,7 +63,8 @@ def main():
         # param trees are identical (tests/test_quant_conv.py), so the
         # float checkpoint restores into the quantized model unchanged
         import dataclasses
-        cfg = dataclasses.replace(cfg, quant_stages=(2, 3))
+        cfg = dataclasses.replace(cfg, quant_stages=(2, 3),
+                                  quant_decoder=args.quant_decoder)
     paths = PathConfig(data_dir=args.data_dir)
     loop = TrainLoop(cfg, args.cls, paths=paths)
     state = loop.init_state()
@@ -91,7 +99,8 @@ def main():
         evaluator = Evaluator(loop.object_meta())
         res = loop.validate(state, loader, epoch, prefix=f"env{n}",
                             evaluate_pose=True, evaluator=evaluator,
-                            vote_params=vp, tail_depth=args.tail_depth)
+                            vote_params=vp, tail_depth=args.tail_depth,
+                            tail_quant=args.quant and args.quant_tail)
         rows.append({
             "hyp_num": n, "max_num": n,
             "proj": round(res[f"env{n}/scalar/projection_error"], 4),

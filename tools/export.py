@@ -32,7 +32,7 @@ import numpy as np
 
 def build_exported(model, variables, points_3d, K, batch, height, width,
                    uncertainty=False, vote_params=None, fused_tail=False,
-                   tail_depth=1, raw_uint8=False):
+                   tail_depth=1, tail_quant=False, raw_uint8=False):
     """Export f(images [b,h,w,3] f32, seed i32) -> (pose, kps)."""
     import jax
     import jax.numpy as jnp
@@ -45,6 +45,7 @@ def build_exported(model, variables, points_3d, K, batch, height, width,
                              fused_tail=fused_tail,
                              tail_depth=tail_depth,
                              tail_dtype=model.dtype,
+                             tail_quant=tail_quant,
                              raw_uint8=raw_uint8)
 
     def serve(images, seed):
@@ -89,6 +90,12 @@ def main():
                     help="bake int8 PTQ backbone stages 2,3 into the "
                          "artifact (ops/quant_conv.py; measured 738 vs "
                          "649 poses/s e2e, metrics within noise)")
+    ap.add_argument("--quant_tail", action="store_true", default=False,
+                    help="with --quant: int8 the packed-tail stage convs "
+                         "(ops/packed_tail.run_packed_stage(quant=True))")
+    ap.add_argument("--quant_decoder", action="store_true", default=False,
+                    help="with --quant: int8 the decoder fc/8s convs "
+                         "(models/pvnet.py quant_decoder)")
     args = ap.parse_args()
 
     from pvnet_tpu.utils.cache import enable_compilation_cache
@@ -120,11 +127,13 @@ def main():
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     qs = (2, 3) if args.quant else ()
+    qd = bool(args.quant and args.quant_decoder)
+    qd_kw = {"quant_decoder": True} if qd else {}   # PVNet-family only
     model = build_model(args.network, ver_dim=2 * vn, seg_dim=2, dtype=dtype,
-                       head_layout="NCHW", quant_stages=qs)
+                       head_layout="NCHW", quant_stages=qs, **qd_kw)
     export_model = model if not args.packed_stem else build_model(
         args.network, ver_dim=2 * vn, seg_dim=2, dtype=dtype,
-        head_layout="NCHW", stem="packed4", quant_stages=qs)
+        head_layout="NCHW", stem="packed4", quant_stages=qs, **qd_kw)
     if args.checkpoint:
         from pvnet_tpu.train import trainer as trainer_mod
         from pvnet_tpu.train.checkpoint import load_net
@@ -151,6 +160,7 @@ def main():
                          uncertainty=args.uncertainty,
                          fused_tail=args.fused_tail,
                          tail_depth=args.tail_depth,
+                         tail_quant=bool(args.quant and args.quant_tail),
                          raw_uint8=args.packed_stem)
     os.makedirs(args.out_dir, exist_ok=True)
     blob = exp.serialize()
@@ -162,6 +172,8 @@ def main():
         "fused_tail": args.fused_tail,
         "tail_depth": args.tail_depth,
         "quant": args.quant,
+        "quant_tail": bool(args.quant and args.quant_tail),
+        "quant_decoder": qd,
         "platforms": list(exp.platforms), "weights": src,
         "input_dtype": "uint8" if args.packed_stem else "float32",
         "points_3d": points_3d.tolist(),

@@ -62,6 +62,10 @@ def parse_args():
                    help="int8 PTQ backbone stages 2,3 (ops/quant_conv.py; "
                         "same checkpoint loads unchanged; measured 738 vs "
                         "649 poses/s e2e)")
+    p.add_argument("--quant_tail", action="store_true", default=False,
+                   help="with --quant: int8 the packed-tail stage convs")
+    p.add_argument("--quant_decoder", action="store_true", default=False,
+                   help="with --quant: int8 the decoder fc/8s convs")
     p.add_argument("--output", default="poses.jsonl")
     return p.parse_args()
 
@@ -106,9 +110,11 @@ def main():
     print(f"{len(paths)} images at {h}x{w}; vn={vn}", flush=True)
 
     qs = (2, 3) if args.quant else tuple(cfg.quant_stages)
+    qd = bool(args.quant and args.quant_decoder) or cfg.quant_decoder
+    qd_kw = {"quant_decoder": True} if qd else {}   # PVNet-family only
     model = build_model(cfg.network, ver_dim=2 * vn, seg_dim=2,
                         dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32,
-                        quant_stages=qs)
+                        quant_stages=qs, **qd_kw)
     state = trainer_mod.create_train_state(model, cfg, (1, h, w, 3),
                                            jax.random.PRNGKey(0))
     state, epoch = load_net(state, args.checkpoint)
@@ -121,7 +127,7 @@ def main():
         from pvnet_tpu.models.resnet import fold_stem_params
         model = build_model(cfg.network, ver_dim=2 * vn, seg_dim=2,
                             dtype=model.dtype, stem="packed4",
-                            quant_stages=qs)
+                            quant_stages=qs, **qd_kw)
         variables = fold_stem_params(variables)
 
     mesh = make_mesh()
@@ -134,7 +140,9 @@ def main():
         mesh, model.apply, pts3d, K, params=params,
         uncertainty=args.uncertainty,
         fused_tail=args.tail_depth > 0, tail_depth=args.tail_depth,
-        tail_dtype=model.dtype, raw_uint8=args.packed_stem)
+        tail_dtype=model.dtype,
+        tail_quant=bool(args.quant and args.quant_tail) or cfg.quant_tail,
+        raw_uint8=args.packed_stem)
 
     def load_image(path):
         img = np.array(Image.open(path).convert("RGB"))
