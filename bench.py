@@ -190,12 +190,15 @@ def main():
                     help="comma list of 0-based backbone stages to "
                          "quantize with --quant (2,3 = layer3+layer4)")
     ap.add_argument("--quant_tail", action="store_true", default=False,
-                    help="int8 the packed-tail stage convs too "
-                         "(ops/packed_tail.run_packed_stage(quant=True): "
-                         "per-image dynamic scales)")
+                    help="int8 the packed-tail stage convs too. REFUTED: "
+                         "513 vs 738 poses/s e2e — the int8 2x2 lattice "
+                         "conv is slower than bf16 on this backend "
+                         "(see ops/packed_tail.run_packed_stage)")
     ap.add_argument("--quant_decoder", action="store_true", default=False,
                     help="int8 the decoder fc/8s convs (models/pvnet.py "
-                         "quant_decoder)")
+                         "quant_decoder). REFUTED: 727.7 vs 737.5 poses/s "
+                         "e2e — at 60x80 the absmax+quantize passes eat "
+                         "the int8 conv gain")
     ap.add_argument("--quant_mode", default="dynamic",
                     choices=("dynamic", "static"),
                     help="activation scales: 'dynamic' = per-image absmax "

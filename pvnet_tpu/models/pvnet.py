@@ -115,10 +115,11 @@ class PVNet(nn.Module):
     quant_mode: str = "dynamic"   # see ops/quant_conv.Conv.mode
     # int8 the decoder's two 128-multiple-channel convs (the fc head
     # Conv_0, 512->fcdim, and the 8s stage Conv_1, (fcdim+256)->s8dim) at
-    # inference. The remaining decoder convs are either folded into the
-    # packed tail (which has its own quant switch — ops/packed_tail.py
-    # run_packed_stage(quant=True)) or lane-padded small-channel convs
-    # where int8 buys nothing. Same param tree either way.
+    # inference. Same param tree either way. Measured e2e on the TPU:
+    # a WASH-to-slight-LOSS (727.7 vs 737.5 poses/s, b128) — at 60x80
+    # the per-conv absmax+quantize passes eat the int8 MXU gain, unlike
+    # the backbone's layer3/4 (ops/quant_conv.py). Kept as an
+    # accuracy-tested option; default off.
     quant_decoder: bool = False
 
     @nn.compact

@@ -514,11 +514,14 @@ def run_packed_stage(fm: jnp.ndarray, skip: jnp.ndarray,
     else:
         up = phase_upsample_packed(fm, cp.ah, cp.aw, dtype)
     if quant:
-        # int8 both convs (ops/quant_conv.conv2d_int8): per-image dynamic
-        # activation scales, per-out-channel weight scales, exact int32
-        # accumulation. The stage convs are MXU-bound on 128-aligned
-        # lattices, so the 2x int8 MXU rate dominates the extra absmax
-        # read (measured e2e — see bench.py --quant_tail).
+        # int8 both convs (ops/quant_conv.conv2d_int8). REFUTED for
+        # throughput on this backend (measure, don't assume): the int8
+        # 2x2 conv at the tail shape [128, 241, 321, 128] is SLOWER than
+        # bf16 — 38.4 ms (static scale) / 43.1 ms (dynamic) vs 23.3 ms —
+        # XLA's int8 conv lowering only beats bf16 for the 3x3 dilated
+        # backbone shapes (ops/quant_conv.py); e2e --quant_tail measured
+        # 513 vs 738 poses/s. Kept as an accuracy-tested option (median
+        # 0.055 px vs float), default off everywhere.
         from pvnet_tpu.ops.quant_conv import conv2d_int8
         acc_t = jnp.float32
         y = conv2d_int8(up, cp.w_fm)
