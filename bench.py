@@ -179,16 +179,19 @@ def main():
                          "time); the device only normalizes — isolates "
                          "the on-device s2d transpose cost")
     ap.add_argument("--quant", action="store_true", default=True,
-                    help="int8 PTQ on backbone layer3/layer4 "
-                         "(ops/quant_conv.py): ~86%% of backbone FLOPs "
-                         "on the 2x-rate int8 MXU path. Default on: "
-                         "measured 738 vs 649 poses/s e2e with trained "
-                         "weights; occluded-split metrics within noise "
-                         "(proj -0.12pp / ADD +0.12pp over 1024 images)")
+                    help="int8 PTQ on the backbone (ops/quant_conv.py): "
+                         "the 2x-rate int8 MXU path. Default on: measured "
+                         "778.5 (static, whole backbone) vs 649 float "
+                         "poses/s e2e with trained weights; occluded-"
+                         "split metrics within noise of float (proj "
+                         "-0.12pp / ADD +0.61pp / 5cm5deg -0.25pp, 410 "
+                         "images, envelope 512)")
     ap.add_argument("--no-quant", dest="quant", action="store_false")
-    ap.add_argument("--quant_stages", default="2,3",
+    ap.add_argument("--quant_stages", default="0,1,2,3",
                     help="comma list of 0-based backbone stages to "
-                         "quantize with --quant (2,3 = layer3+layer4)")
+                         "quantize with --quant (default: whole backbone "
+                         "— measured 778.5 vs 769.3 for 2,3 under "
+                         "static scales)")
     ap.add_argument("--quant_tail", action="store_true", default=False,
                     help="int8 the packed-tail stage convs too. REFUTED: "
                          "513 vs 738 poses/s e2e — the int8 2x2 lattice "
@@ -199,13 +202,15 @@ def main():
                          "quant_decoder). REFUTED: 727.7 vs 737.5 poses/s "
                          "e2e — at 60x80 the absmax+quantize passes eat "
                          "the int8 conv gain")
-    ap.add_argument("--quant_mode", default="dynamic",
+    ap.add_argument("--quant_mode", default="static",
                     choices=("dynamic", "static"),
-                    help="activation scales: 'dynamic' = per-image absmax "
-                         "in-graph; 'static' = calibrated scalar per conv "
-                         "(quantize fuses into the producer — no absmax "
-                         "pass; ops/quant_conv.calibrate on one rendered "
-                         "batch)")
+                    help="activation scales: 'static' (default) = "
+                         "calibrated scalar per conv — the quantize "
+                         "fuses into the producer, no absmax pass; "
+                         "measured 769.3 vs 737.5 poses/s over 'dynamic' "
+                         "(per-image absmax in-graph) at quant_stages "
+                         "2,3. Calibrated on one rendered batch "
+                         "(ops/quant_conv.calibrate)")
     ap.add_argument("--bf16", action="store_true", default=True)
     ap.add_argument("--no-bf16", dest="bf16", action="store_false")
     ap.add_argument("--no-train", dest="train_bench", action="store_false",

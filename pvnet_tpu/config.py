@@ -181,6 +181,11 @@ class TrainConfig:
     # (ops/packed_tail.run_packed_stage(quant=True))
     quant_decoder: bool = False
     quant_tail: bool = False
+    # activation-scale scheme for the int8 convs: 'dynamic' (per-image
+    # absmax in-graph) or 'static' (calibrated scalar per conv — measured
+    # FASTER e2e, 769.3 vs 737.5 poses/s b128; needs a calibration pass,
+    # see train/loop.TrainLoop.calibrate_quant / ops/quant_conv.calibrate)
+    quant_mode: str = "dynamic"
 
     lr: float = 1e-3
     lr_decay_rate: float = 0.5

@@ -104,6 +104,15 @@ class Conv(nn.Conv):
             # single reduction (ADVICE r2)
             s_x = jnp.maximum(jnp.max(jnp.abs(xf), axis=(1, 2, 3),
                                       keepdims=True), 1e-12) / 127.0
+        elif (self.mode == "static"
+              and not self.has_variable("quant", "act_absmax")):
+            # static mode without a calibrated 'quant' collection (e.g.
+            # the train loop's loss-eval forward, which applies with only
+            # params/batch_stats): fall back to the per-image dynamic
+            # scale rather than failing — numerically it is the same
+            # scheme with a per-dispatch scale
+            s_x = jnp.maximum(jnp.max(jnp.abs(xf), axis=(1, 2, 3),
+                                      keepdims=True), 1e-12) / 127.0
         else:
             amax = self.variable("quant", "act_absmax",
                                  lambda: jnp.zeros((), jnp.float32))

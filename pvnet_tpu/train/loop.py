@@ -63,7 +63,8 @@ class TrainLoop:
         self.paths = paths or PathConfig()
         self.vote_type = cfg.vote_type
         self.vote_num = VotingType.vote_num(cfg.vote_type)
-        model_kw = dict(quant_stages=tuple(cfg.quant_stages))
+        model_kw = dict(quant_stages=tuple(cfg.quant_stages),
+                        quant_mode=cfg.quant_mode)
         if cfg.quant_decoder:
             # only the PVNet family takes it; build_model forwards **kw
             model_kw["quant_decoder"] = True
@@ -79,6 +80,9 @@ class TrainLoop:
         self.buckets = buckets
         self._train_step = None
         self._eval_forward_cache = {}
+        # calibrated activation scales for quant_mode='static'
+        # (ops/quant_conv.calibrate); merged into eval variables when set
+        self.quant_collection = None
 
     # -- state ------------------------------------------------------------
     def init_state(self, input_hw=(256, 256),
@@ -334,6 +338,25 @@ class TrainLoop:
             self._eval_forward_cache[key] = jax.jit(fwd)
         return self._eval_forward_cache[key]
 
+    def calibrate_quant(self, state, loader, num_batches: int = 2):
+        """Calibrate static int8 activation scales (quant_mode='static')
+        on a few loader batches; stores the ``quant`` collection for every
+        subsequent validate()/eval_pipeline() call. The same float
+        checkpoint serves both modes (ops/quant_conv.Conv docstring)."""
+        from pvnet_tpu.ops import quant_conv
+        calib = self.model.clone(quant_mode="calibrate")
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        images = []
+        for bidx, batch in enumerate(loader):
+            if bidx >= num_batches:
+                break
+            dev = _device_batch(batch, self.vote_num, self.cfg.motion_model)
+            images.append(dev["image"])
+        self.quant_collection = jax.device_put(
+            quant_conv.calibrate(calib, variables, images, train=False))
+        return self.quant_collection
+
     def validate(self, state, loader, epoch: int, prefix: str = "val",
                  evaluate_pose: bool = False, uncertainty: bool = False,
                  use_camera_intrinsic: bool = False,
@@ -370,6 +393,8 @@ class TrainLoop:
                                          tail_quant)
                 variables = {"params": state.params,
                              "batch_stats": state.batch_stats}
+                if self.quant_collection is not None:
+                    variables["quant"] = self.quant_collection
                 key = jax.random.fold_in(key, bidx)
                 Ks = (np.asarray(batch["K"], np.float32)
                       if use_camera_intrinsic

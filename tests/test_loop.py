@@ -137,6 +137,45 @@ class TestPackedEval:
         assert "test/scalar/add" in losses
         assert len(ev.add_recorder) == len(ds)
 
+    def test_validate_static_quant(self, tmp_path_factory):
+        """quant_mode='static' eval path: calibrate_quant stores the quant
+        collection; validate merges it and pose eval runs (the float
+        checkpoint restores into the quantized model unchanged). Own tiny
+        64x64 dataset: XLA CPU executes int8 convs scalarized (~75x
+        slower at 480x640 than 64x64 — minutes per batch), so the shared
+        480x640 fixture is unusable here."""
+        import dataclasses
+        root = tmp_path_factory.mktemp("sqdata")
+        paths = generate_synthetic_linemod(str(root), "duck", num_images=4,
+                                           image_hw=(64, 64))
+        cfg = TrainConfig.from_dict({
+            "model_name": "sq_test", "test_batch_size": 2,
+            "use_fuse": False,
+            "aug_cfg": {"hmin": 64, "hmax": 64, "wmin": 64, "wmax": 64,
+                        "jitter": False, "blur": False},
+        })
+        qcfg = dataclasses.replace(cfg, quant_stages=(2, 3),
+                                   quant_mode="static")
+        db = LineModImageDB("duck", has_render_set=False,
+                            has_fuse_set=False, paths=paths)
+        loop = TrainLoop(qcfg, "duck", paths=paths, use_mesh=False)
+        state = loop.init_state()
+        ds = PoseDataset(db.test_real_set, paths.linemod_dir, cfg.vote_type,
+                         augment=False, aug_cfg=cfg.aug_cfg)
+        sampler = ImageSizeBatchSampler(range(len(ds)), 2,
+                                        aug_cfg=cfg.aug_cfg, shuffle=False)
+        loader = Prefetcher(ds, sampler, num_threads=1)
+        quant = loop.calibrate_quant(state, loader, num_batches=1)
+        amaxes = [float(v) for v in jax.tree_util.tree_leaves(quant)]
+        assert amaxes and all(a > 0 for a in amaxes)
+        loader2 = Prefetcher(ds, sampler, num_threads=1)
+        ev = Evaluator(loop.object_meta())
+        losses = loop.validate(state, loader2, 1, "sq",
+                               evaluate_pose=True, evaluator=ev,
+                               tail_depth=3)
+        assert "sq/scalar/add" in losses
+        assert np.isfinite(losses["sq/scalar/loss"])
+
 
 class TestDeviceData:
     def test_fit_device_resident(self, setup):

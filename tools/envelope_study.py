@@ -32,6 +32,14 @@ def main():
                     help="int8 PTQ on backbone layer3/layer4 "
                          "(ops/quant_conv.py) — measures the trained-ckpt "
                          "metric delta of the quantized inference path")
+    ap.add_argument("--quant_stages", default="2,3",
+                    help="comma list of backbone stages to quantize with "
+                         "--quant (0,1,2,3 = whole backbone)")
+    ap.add_argument("--quant_mode", default="dynamic",
+                    choices=("dynamic", "static"),
+                    help="activation-scale scheme with --quant; 'static' "
+                         "calibrates scalar scales on the first 2 test "
+                         "batches (TrainLoop.calibrate_quant)")
     ap.add_argument("--quant_decoder", action="store_true",
                     help="with --quant: int8 the decoder fc/8s convs too "
                          "(models/pvnet.py quant_decoder)")
@@ -63,8 +71,12 @@ def main():
         # param trees are identical (tests/test_quant_conv.py), so the
         # float checkpoint restores into the quantized model unchanged
         import dataclasses
-        cfg = dataclasses.replace(cfg, quant_stages=(2, 3),
-                                  quant_decoder=args.quant_decoder)
+        cfg = dataclasses.replace(
+            cfg,
+            quant_stages=tuple(int(x) for x in
+                               args.quant_stages.split(",")),
+            quant_decoder=args.quant_decoder,
+            quant_mode=args.quant_mode)
     paths = PathConfig(data_dir=args.data_dir)
     loop = TrainLoop(cfg, args.cls, paths=paths)
     state = loop.init_state()
@@ -92,6 +104,10 @@ def main():
     test_db = db.test_real_set
     loader = loop.make_val_loader(test_db, paths.linemod_dir,
                                   args.num_threads)
+
+    if args.quant and args.quant_mode == "static":
+        loop.calibrate_quant(state, loader)
+        print("calibrated static int8 scales on 2 test batches")
 
     rows = []
     for n in [int(x) for x in args.envelopes.split(",")]:
