@@ -65,6 +65,34 @@ def test_export_quant_roundtrip(tmp_path):
     assert pose.shape == (1, 3, 4) and np.isfinite(np.asarray(pose)).all()
 
 
+def test_export_static_quant_roundtrip(tmp_path):
+    """Static-scale int8 artifact: calibrated 'quant' collection baked
+    into the exported weights (the 773-778 poses/s production config) —
+    the artifact must carry the scales, not recompute them."""
+    from jax import export as jexport
+    from pvnet_tpu.ops import quant_conv
+    sys.path.insert(0, "tools")
+    from export import build_exported
+
+    rng = np.random.RandomState(2)
+    pts3d = rng.uniform(-0.05, 0.05, (9, 3)).astype(np.float32)
+    model = build_model("resnet18_8s", ver_dim=18, quant_stages=(2, 3),
+                        quant_mode="static")
+    img = jnp.asarray(rng.randn(1, 64, 64, 3), jnp.float32)
+    variables = build_model("resnet18_8s", ver_dim=18).init(
+        jax.random.PRNGKey(2), img, train=False)
+    calib = model.clone(quant_mode="calibrate")
+    quant = quant_conv.calibrate(calib, variables, [img], train=False)
+    assert all(float(v) > 0 for v in jax.tree_util.tree_leaves(quant))
+    variables = dict(variables)
+    variables["quant"] = quant
+    exp = build_exported(model, variables, pts3d, LINEMOD_K, 1, 64, 64,
+                         vote_params=VoteParams(hyp_num=64, max_num=64))
+    fn = jexport.deserialize(exp.serialize())
+    pose, kps = fn.call(img, jnp.int32(3))
+    assert pose.shape == (1, 3, 4) and np.isfinite(np.asarray(pose)).all()
+
+
 def test_export_cli_roundtrip(tmp_path):
     out = tmp_path / "exp"
     env = {"JAX_PLATFORMS": "", "PATH": "/usr/bin:/bin:/usr/local/bin"}
