@@ -193,9 +193,10 @@ def main():
                          "— measured 778.5 vs 769.3 for 2,3 under "
                          "static scales)")
     ap.add_argument("--quant_tail", action="store_true", default=False,
-                    help="int8 the packed-tail stage convs too. REFUTED: "
-                         "513 vs 738 poses/s e2e — the int8 2x2 lattice "
-                         "conv is slower than bf16 on this backend "
+                    help="int8 the packed-tail stage convs too (dynamic "
+                         "per-image scales only). REFUTED: 513 vs 738 "
+                         "poses/s e2e — the int8 2x2 lattice conv is "
+                         "slower than bf16 on this backend "
                          "(see ops/packed_tail.run_packed_stage)")
     ap.add_argument("--quant_decoder", action="store_true", default=False,
                     help="int8 the decoder fc/8s convs (models/pvnet.py "

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from dataclasses import dataclass
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
@@ -367,34 +368,60 @@ class Prefetcher:
             index_queue.put((i, b))
         results: Dict[int, dict] = {}
         lock = threading.Lock()
+        stop = threading.Event()
+
+        def put(item):
+            # bounded put that aborts when the consumer has gone away —
+            # a plain blocking put would leave workers pinned on a full
+            # queue forever if the caller breaks out of the generator
+            # early (e.g. calibrate_quant takes 2 batches of a full
+            # epoch), leaking threads + decoded batches per call
+            while not stop.is_set():
+                try:
+                    batch_queue.put(item, timeout=0.1)
+                    return
+                except queue.Full:
+                    continue
 
         def worker():
-            while True:
+            while not stop.is_set():
                 try:
                     i, spec = index_queue.get_nowait()
                 except queue.Empty:
                     return
                 try:
                     samples = [self.dataset[s] for s in spec]
-                    batch_queue.put((i, collate(samples)))
+                    put((i, collate(samples)))
                 except BaseException as e:   # propagate, never deadlock
-                    batch_queue.put((i, e))
+                    put((i, e))
 
         threads = [threading.Thread(target=worker, daemon=True)
                    for _ in range(self.num_threads)]
         for t in threads:
             t.start()
 
-        next_i = 0
-        received = 0
-        while received < len(batches):
-            i, batch = batch_queue.get()
-            if isinstance(batch, BaseException):
-                raise RuntimeError(
-                    f"prefetch worker failed on batch {i}") from batch
-            received += 1
-            with lock:
-                results[i] = batch
-            while next_i in results:
-                yield results.pop(next_i)
-                next_i += 1
+        try:
+            next_i = 0
+            received = 0
+            while received < len(batches):
+                i, batch = batch_queue.get()
+                if isinstance(batch, BaseException):
+                    raise RuntimeError(
+                        f"prefetch worker failed on batch {i}") from batch
+                received += 1
+                with lock:
+                    results[i] = batch
+                while next_i in results:
+                    yield results.pop(next_i)
+                    next_i += 1
+        finally:
+            # runs on normal exhaustion, exceptions, AND generator close
+            # (consumer break / GC) — release the workers and their
+            # queued batches
+            stop.set()
+            while any(t.is_alive() for t in threads):
+                try:
+                    batch_queue.get_nowait()
+                except queue.Empty:
+                    time.sleep(0.01)
+            results.clear()

@@ -521,7 +521,12 @@ def run_packed_stage(fm: jnp.ndarray, skip: jnp.ndarray,
         # XLA's int8 conv lowering only beats bf16 for the 3x3 dilated
         # backbone shapes (ops/quant_conv.py); e2e --quant_tail measured
         # 513 vs 738 poses/s. Kept as an accuracy-tested option (median
-        # 0.055 px vs float), default off everywhere.
+        # 0.055 px vs float), default off everywhere. NOTE: this path is
+        # dynamic-scale ONLY (s_x=None -> per-image absmax); the tail is
+        # functional code outside the flax 'quant' collection, so static
+        # calibrated scales are not plumbed here — the static 38.4 ms
+        # figure above was measured with a hand-fed scalar in
+        # tools/bench_packed_tail.py, not via this entry point.
         from pvnet_tpu.ops.quant_conv import conv2d_int8
         acc_t = jnp.float32
         y = conv2d_int8(up, cp.w_fm)

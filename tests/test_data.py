@@ -279,6 +279,30 @@ class TestDatasetPipeline:
         assert len(batches) == 2
         assert batches[0]["image"].shape == (2, 64, 96, 3)
 
+    def test_prefetcher_early_exit_releases_workers(self, synth):
+        """Breaking out of the iterator (as calibrate_quant does) must not
+        leave worker threads pinned on the bounded queue — they'd leak a
+        thread + decoded batches per early exit (ADVICE r3)."""
+        import threading
+        import time as _time
+        db = LineModImageDB("duck", has_render_set=False,
+                            has_fuse_set=False, paths=synth)
+        cfg = AugConfig(hmin=64, hmax=64, wmin=96, wmax=96)
+        ds = PoseDataset(db.train_real_set, synth.linemod_dir,
+                         VotingType.Farthest, augment=True, aug_cfg=cfg)
+        base = threading.active_count()
+        for _ in range(5):
+            sampler = ImageSizeBatchSampler(range(len(ds)), 1, aug_cfg=cfg,
+                                            shuffle=False, seed=0)
+            # prefetch=1 so with >2 batches a worker would block in put()
+            it = iter(Prefetcher(ds, sampler, num_threads=2, prefetch=1))
+            next(it)
+            it.close()   # what GC does when the consumer breaks early
+        deadline = _time.time() + 5.0
+        while threading.active_count() > base and _time.time() < deadline:
+            _time.sleep(0.05)
+        assert threading.active_count() <= base
+
 
 class TestVotingType:
     def test_vote_nums(self):

@@ -87,19 +87,27 @@ def main():
                     help="artifact takes raw uint8 images; pack+normalize "
                          "+ the folded packed stem run inside the program")
     ap.add_argument("--quant", action="store_true", default=False,
-                    help="bake int8 PTQ backbone stages 2,3 into the "
-                         "artifact (ops/quant_conv.py; measured 738 vs "
-                         "649 poses/s e2e, metrics within noise)")
-    ap.add_argument("--quant_mode", default="dynamic",
+                    help="bake int8 PTQ backbone stages into the "
+                         "artifact (ops/quant_conv.py; the production "
+                         "static whole-backbone config measured 773-778 "
+                         "vs 649 poses/s e2e, metrics within noise)")
+    ap.add_argument("--quant_stages", default="0,1,2,3",
+                    help="comma-separated backbone stage indices to "
+                         "quantize with --quant (default: whole backbone "
+                         "— the bench/production default)")
+    ap.add_argument("--quant_mode", default="static",
                     choices=("dynamic", "static"),
                     help="with --quant: activation-scale scheme; 'static' "
-                         "calibrates scalar scales on one rendered "
-                         "synthetic batch and bakes them into the "
-                         "artifact (measured faster e2e than dynamic: "
-                         "769 vs 738 poses/s b128)")
+                         "(default, the production config) calibrates "
+                         "scalar scales on one rendered synthetic batch "
+                         "and bakes them into the artifact (measured "
+                         "faster e2e than dynamic: 769 vs 738 poses/s "
+                         "b128)")
     ap.add_argument("--quant_tail", action="store_true", default=False,
                     help="with --quant: int8 the packed-tail stage convs "
-                         "(ops/packed_tail.run_packed_stage(quant=True))")
+                         "(ops/packed_tail.run_packed_stage(quant=True); "
+                         "dynamic per-image scales only — REFUTED e2e, "
+                         "513 vs 738 poses/s, kept as a tested option)")
     ap.add_argument("--quant_decoder", action="store_true", default=False,
                     help="with --quant: int8 the decoder fc/8s convs "
                          "(models/pvnet.py quant_decoder)")
@@ -133,7 +141,8 @@ def main():
     vn = points_3d.shape[0]
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    qs = (2, 3) if args.quant else ()
+    qs = tuple(
+        int(s) for s in args.quant_stages.split(",")) if args.quant else ()
     qd = bool(args.quant and args.quant_decoder)
     qd_kw = {"quant_decoder": True} if qd else {}   # PVNet-family only
     if args.quant:
@@ -197,6 +206,7 @@ def main():
         "fused_tail": args.fused_tail,
         "tail_depth": args.tail_depth,
         "quant": args.quant,
+        "quant_stages": list(qs),
         "quant_mode": args.quant_mode if args.quant else None,
         "quant_tail": bool(args.quant and args.quant_tail),
         "quant_decoder": qd,

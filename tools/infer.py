@@ -59,16 +59,23 @@ def parse_args():
                         "(conv7 checkpoint weights are folded exactly; "
                         "host-side normalization is skipped)")
     p.add_argument("--quant", action="store_true", default=False,
-                   help="int8 PTQ backbone stages 2,3 (ops/quant_conv.py; "
-                        "same checkpoint loads unchanged; measured 738 vs "
-                        "649 poses/s e2e)")
-    p.add_argument("--quant_mode", default="dynamic",
+                   help="int8 PTQ backbone stages (ops/quant_conv.py; "
+                        "same checkpoint loads unchanged; the static "
+                        "whole-backbone production config measured "
+                        "773-778 vs 649 poses/s e2e)")
+    p.add_argument("--quant_stages", default="0,1,2,3",
+                   help="comma-separated backbone stage indices to "
+                        "quantize with --quant (default: whole backbone "
+                        "— the bench/production default)")
+    p.add_argument("--quant_mode", default="static",
                    choices=("dynamic", "static"),
-                   help="with --quant: 'static' calibrates scalar "
-                        "activation scales on the first input batch "
-                        "(faster e2e than dynamic: 769 vs 738 poses/s)")
+                   help="with --quant: 'static' (default) calibrates "
+                        "scalar activation scales on the first input "
+                        "batch (faster e2e than dynamic: 769 vs 738 "
+                        "poses/s)")
     p.add_argument("--quant_tail", action="store_true", default=False,
-                   help="with --quant: int8 the packed-tail stage convs")
+                   help="with --quant: int8 the packed-tail stage convs "
+                        "(dynamic per-image scales only; REFUTED e2e)")
     p.add_argument("--quant_decoder", action="store_true", default=False,
                    help="with --quant: int8 the decoder fc/8s convs")
     p.add_argument("--output", default="poses.jsonl")
@@ -114,11 +121,19 @@ def main():
     h, w = first.shape[:2]
     print(f"{len(paths)} images at {h}x{w}; vn={vn}", flush=True)
 
-    qs = (2, 3) if args.quant else tuple(cfg.quant_stages)
+    # quant settings come from the CLI when --quant is passed, else fall
+    # back to the checkpoint recipe's config (so a recipe with
+    # quant_stages + quant_mode='static' gets calibration without flags)
+    if args.quant:
+        qs = tuple(int(s) for s in args.quant_stages.split(","))
+        quant_mode = args.quant_mode
+    else:
+        qs = tuple(cfg.quant_stages)
+        quant_mode = cfg.quant_mode
     qd = bool(args.quant and args.quant_decoder) or cfg.quant_decoder
     qd_kw = {"quant_decoder": True} if qd else {}   # PVNet-family only
-    if args.quant:
-        qd_kw["quant_mode"] = args.quant_mode
+    if qs:
+        qd_kw["quant_mode"] = quant_mode
     model = build_model(cfg.network, ver_dim=2 * vn, seg_dim=2,
                         dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32,
                         quant_stages=qs, **qd_kw)
@@ -157,7 +172,7 @@ def main():
             return img                      # uint8; device-side normalize
         return (img.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
 
-    if args.quant and args.quant_mode == "static":
+    if qs and quant_mode == "static":
         # calibrate scalar activation scales on the first (real) images —
         # the best calibration data available (ops/quant_conv.calibrate)
         from pvnet_tpu.ops import quant_conv
