@@ -94,7 +94,8 @@ def load_weights(model, image, ckpt_path):
 from pvnet_tpu.utils.benchlib import timeit_chained
 
 
-def bench_train_step(batch: int, h: int, w: int, iters: int):
+def bench_train_step(batch: int, h: int, w: int, iters: int,
+                     head_layout: str = "NHWC"):
     """Training throughput: the production device-resident train step
     (trainer.train_step_from_data) — HBM-resident uint8 frames, on-device
     augmentation, vertex-target generation, forward+backward+Adam — timed
@@ -111,7 +112,7 @@ def bench_train_step(batch: int, h: int, w: int, iters: int):
 
     cfg = TrainConfig(model_name="bench", train_batch_size=batch)
     model = build_model("resnet18_8s", ver_dim=18, seg_dim=2,
-                        dtype=jnp.bfloat16)
+                        dtype=jnp.bfloat16, head_layout=head_layout)
     key = jax.random.PRNGKey(7)
     state = trainer.create_train_state(model, cfg, (1, h, w, 3), key)
 
@@ -130,7 +131,8 @@ def bench_train_step(batch: int, h: int, w: int, iters: int):
     aug_hw = (h, w)
     step = functools.partial(trainer.train_step_from_data,
                              vertex_loss_ratio=cfg.vertex_loss_ratio,
-                             aug_cfg=cfg.aug_cfg, aug_hw=aug_hw)
+                             aug_cfg=cfg.aug_cfg, aug_hw=aug_hw,
+                             head_layout=head_layout)
 
     def step_fn(carry):
         st, acc = carry
@@ -216,6 +218,10 @@ def main():
     ap.add_argument("--no-bf16", dest="bf16", action="store_false")
     ap.add_argument("--no-train", dest="train_bench", action="store_false",
                     default=True, help="skip the training-throughput bench")
+    ap.add_argument("--train_layout", default="NHWC",
+                    choices=("NHWC", "NCHW"),
+                    help="head layout for the training bench (NCHW = "
+                         "channel-major loss path, train/loss.py)")
     ap.add_argument("--train_batch", type=int, default=16,
                     help="training bench batch. 16 (synthetic recipe) "
                          "measured 33 imgs/s; the linemod recipe's 32 "
@@ -413,7 +419,8 @@ def main():
 
     if args.train_bench:
         t_step, thw, tb = bench_train_step(args.train_batch, args.height,
-                                           args.width, max(args.iters, 4))
+                                           args.width, max(args.iters, 4),
+                                           head_layout=args.train_layout)
         record["train_steps_per_sec"] = round(1.0 / t_step, 3)
         record["train_imgs_per_sec"] = round(tb / t_step, 2)
         record["train_batch"] = tb

@@ -173,6 +173,12 @@ class TrainConfig:
     """Training recipe, JSON-compatible with ref configs/linemod_train.json."""
     model_name: str = "linemod_train"
     network: str = "resnet18_8s"
+    # Model head emission layout: 'NHWC' or 'NCHW' (channel-major).
+    # Checkpoints interchange (same param tree, models/pvnet.py
+    # _HeadConvCMajor). NCHW runs the training loss channel-major —
+    # full-res [b,c,h,w] keeps w as the dense minor dim where NHWC's
+    # c=18/c=2 tensors are lane-padded 7x/64x in HBM (train/loss.py).
+    head_layout: str = "NHWC"
     # Backbone stages to run int8 PTQ at inference (ops/quant_conv.py);
     # e.g. [2, 3] = layer3+layer4. Training always runs float.
     quant_stages: tuple = ()

@@ -43,17 +43,38 @@ def compute_vertex_targets_np(mask: np.ndarray, hcoords: np.ndarray,
 
 
 def compute_vertex_targets(mask: jnp.ndarray, hcoords: jnp.ndarray,
-                           use_motion: bool = False) -> jnp.ndarray:
+                           use_motion: bool = False,
+                           layout: str = "NHWC") -> jnp.ndarray:
     """Device implementation, batched.
 
     Args:
       mask:    [b, h, w]
       hcoords: [b, k, 3]
+      layout:  'NHWC' -> [b, h, w, k*2]; 'NCHW' -> [b, k*2, h, w] with the
+        same channel order (x0, y0, x1, y1, ...) the NCHW model head emits.
+        The NCHW form keeps w as the minor dim (dense lanes); the NHWC
+        form's minor dim k*2=18 is lane-padded ~7x in HBM.
     Returns:
-      [b, h, w, k*2] float32.
+      float32 vector field, zero outside the mask.
     """
     b, h, w = mask.shape
     k = hcoords.shape[1]
+    if layout == "NCHW":
+        xs = jnp.arange(w, dtype=jnp.float32)[None, None, None, :]
+        ys = jnp.arange(h, dtype=jnp.float32)[None, None, :, None]
+        hx = hcoords[:, :, 0, None, None]                       # [b,k,1,1]
+        hy = hcoords[:, :, 1, None, None]
+        hw = hcoords[:, :, 2, None, None]
+        vx = hx - xs * hw                                       # [b,k,h,w]
+        vy = hy - ys * hw
+        if not use_motion:
+            norm = jnp.sqrt(vx * vx + vy * vy)
+            norm = jnp.where(norm < 1e-3, norm + 1e-3, norm)
+            vx = vx / norm
+            vy = vy / norm
+        v = jnp.stack([vx, vy], axis=2)                         # [b,k,2,h,w]
+        v = v * (mask == 1)[:, None, None]
+        return v.reshape(b, k * 2, h, w)
     xs = jnp.arange(w, dtype=jnp.float32)[None, None, :, None]   # [1,1,w,1]
     ys = jnp.arange(h, dtype=jnp.float32)[None, :, None, None]   # [1,h,1,1]
     hx = hcoords[:, None, None, :, 0]                            # [b,1,1,k]

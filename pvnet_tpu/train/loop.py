@@ -68,6 +68,8 @@ class TrainLoop:
         if cfg.quant_decoder:
             # only the PVNet family takes it; build_model forwards **kw
             model_kw["quant_decoder"] = True
+        if cfg.head_layout != "NHWC":
+            model_kw["head_layout"] = cfg.head_layout
         self.model = build_model(cfg.network, ver_dim=self.vote_num * 2,
                                  seg_dim=2,
                                  dtype=jnp.bfloat16 if cfg.bf16
@@ -126,13 +128,15 @@ class TrainLoop:
                     step = trainer_mod.make_sharded_train_step_from_data(
                         self.mesh, self.cfg.vertex_loss_ratio, donate=False,
                         use_motion=self.cfg.motion_model,
-                        aug_cfg=self.cfg.aug_cfg, aug_hw=aug_hw)
+                        aug_cfg=self.cfg.aug_cfg, aug_hw=aug_hw,
+                        head_layout=self.cfg.head_layout)
                 else:
                     step = jax.jit(functools.partial(
                         trainer_mod.train_step_from_data,
                         vertex_loss_ratio=self.cfg.vertex_loss_ratio,
                         use_motion=self.cfg.motion_model,
-                        aug_cfg=self.cfg.aug_cfg, aug_hw=aug_hw))
+                        aug_cfg=self.cfg.aug_cfg, aug_hw=aug_hw,
+                        head_layout=self.cfg.head_layout))
                 self._data_steps[aug_hw] = step
             return self._data_steps[aug_hw]
         if aug_hw is not None:
@@ -143,25 +147,29 @@ class TrainLoop:
                     step = trainer_mod.make_sharded_train_step(
                         self.mesh, self.cfg.vertex_loss_ratio, donate=False,
                         use_motion=self.cfg.motion_model,
-                        aug_cfg=self.cfg.aug_cfg, aug_hw=aug_hw)
+                        aug_cfg=self.cfg.aug_cfg, aug_hw=aug_hw,
+                        head_layout=self.cfg.head_layout)
                 else:
                     step = jax.jit(functools.partial(
                         trainer_mod.train_step,
                         vertex_loss_ratio=self.cfg.vertex_loss_ratio,
                         use_motion=self.cfg.motion_model,
-                        aug_cfg=self.cfg.aug_cfg, aug_hw=aug_hw))
+                        aug_cfg=self.cfg.aug_cfg, aug_hw=aug_hw,
+                        head_layout=self.cfg.head_layout))
                 self._aug_steps[aug_hw] = step
             return self._aug_steps[aug_hw]
         if self._train_step is None:
             if self.mesh is not None:
                 self._train_step = trainer_mod.make_sharded_train_step(
                     self.mesh, self.cfg.vertex_loss_ratio, donate=False,
-                    use_motion=self.cfg.motion_model)
+                    use_motion=self.cfg.motion_model,
+                    head_layout=self.cfg.head_layout)
             else:
                 self._train_step = jax.jit(functools.partial(
                     trainer_mod.train_step,
                     vertex_loss_ratio=self.cfg.vertex_loss_ratio,
-                    use_motion=self.cfg.motion_model))
+                    use_motion=self.cfg.motion_model,
+                    head_layout=self.cfg.head_layout))
         return self._train_step
 
     def build_device_dataset(self, train_db, data_prefix: str):
@@ -375,7 +383,8 @@ class TrainLoop:
             self._eval_loss_fn = jax.jit(functools.partial(
                 trainer_mod.eval_step,
                 vertex_loss_ratio=self.cfg.vertex_loss_ratio,
-                use_motion=self.cfg.motion_model))
+                use_motion=self.cfg.motion_model,
+                head_layout=self.cfg.head_layout))
         eval_loss = self._eval_loss_fn
         key = jax.random.PRNGKey(0)
         begin = time.time()

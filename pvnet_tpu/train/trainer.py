@@ -70,21 +70,24 @@ def set_learning_rate(state: TrainState, lr: float) -> TrainState:
     return state.replace(opt_state=opt_state)
 
 
-def _batch_vertex(batch: Dict[str, jnp.ndarray], use_motion: bool
-                  ) -> jnp.ndarray:
+def _batch_vertex(batch: Dict[str, jnp.ndarray], use_motion: bool,
+                  layout: str = "NHWC") -> jnp.ndarray:
     """Vertex targets: precomputed, or generated on device from hcoords
     inside the jitted step (never eagerly — per-op dispatch through the
-    TPU tunnel costs seconds per batch)."""
+    TPU tunnel costs seconds per batch). layout='NCHW' emits/transposes to
+    channel-major [b, vd, h, w] for the NCHW-head loss."""
     if "vertex" in batch:
-        return batch["vertex"]
+        v = batch["vertex"]
+        return jnp.transpose(v, (0, 3, 1, 2)) if layout == "NCHW" else v
     if batch["hcoords"].ndim == 4:      # [b, C, k, 3]: multi-class labels
         assert not use_motion, "motion model + multi-class unsupported"
         from pvnet_tpu.data.vertex import compute_vertex_targets_multiclass
-        return compute_vertex_targets_multiclass(batch["mask"],
-                                                 batch["hcoords"])
+        v = compute_vertex_targets_multiclass(batch["mask"],
+                                              batch["hcoords"])
+        return jnp.transpose(v, (0, 3, 1, 2)) if layout == "NCHW" else v
     from pvnet_tpu.data.vertex import compute_vertex_targets
     return compute_vertex_targets(batch["mask"], batch["hcoords"],
-                                  use_motion)
+                                  use_motion, layout=layout)
 
 
 def _apply_device_aug(batch: Dict[str, jnp.ndarray], rng: jax.Array,
@@ -109,25 +112,36 @@ def _apply_device_aug(batch: Dict[str, jnp.ndarray], rng: jax.Array,
 def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                rng: Optional[jax.Array] = None,
                vertex_loss_ratio: float = 1.0, use_motion: bool = False,
-               aug_cfg=None, aug_hw: Optional[Tuple[int, int]] = None
+               aug_cfg=None, aug_hw: Optional[Tuple[int, int]] = None,
+               head_layout: str = "NHWC"
                ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One optimization step. batch keys: image [b,h,w,3], mask [b,h,w],
     vertex_weights [b,h,w,1], and vertex [b,h,w,vd] or hcoords [b,k,3].
 
     With ``aug_cfg``/``aug_hw`` set (and ``rng`` provided), the batch is
     expected raw (unnormalized 0..255 images, full frames) and the whole
-    augmentation pipeline runs on device as part of this jitted step."""
+    augmentation pipeline runs on device as part of this jitted step.
+
+    ``head_layout`` must match the model's: 'NCHW' runs the whole loss in
+    channel-major layout (targets generated as [b, vd, h, w], losses with
+    channel_axis=1) — the TPU-fast form, since full-res NHWC c=18/c=2
+    tensors are lane-padded 7x/64x in HBM (see train/loss.py)."""
     if aug_cfg is not None:
         batch = _apply_device_aug(batch, rng, aug_cfg, aug_hw)
-    vertex = _batch_vertex(batch, use_motion)
+    vertex = _batch_vertex(batch, use_motion, head_layout)
+    ca = 1 if head_layout == "NCHW" else -1
+    vw = batch["vertex_weights"]
+    if head_layout == "NCHW":
+        # [b,h,w,1] -> [b,1,h,w] is a pure reshape (same element order)
+        vw = vw.reshape(vw.shape[0], 1, *vw.shape[1:3])
 
     def loss_fn(params):
         (seg_pred, ver_pred), mutated = state.apply_fn(
             {"params": params, "batch_stats": state.batch_stats},
             batch["image"], train=True, mutable=["batch_stats"])
         loss, metrics = total_loss(seg_pred, ver_pred, batch["mask"],
-                                   vertex, batch["vertex_weights"],
-                                   vertex_loss_ratio)
+                                   vertex, vw,
+                                   vertex_loss_ratio, channel_axis=ca)
         return loss, (metrics, mutated["batch_stats"])
 
     grads, (metrics, new_stats) = jax.grad(loss_fn, has_aux=True)(
@@ -147,7 +161,8 @@ def train_step_from_data(state: TrainState, data: Dict[str, jnp.ndarray],
                          vertex_loss_ratio: float = 1.0,
                          use_motion: bool = False,
                          aug_cfg=None,
-                         aug_hw: Optional[Tuple[int, int]] = None
+                         aug_hw: Optional[Tuple[int, int]] = None,
+                         head_layout: str = "NHWC"
                          ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """Device-resident input pipeline: one step that gathers its minibatch
     from the WHOLE training set living in HBM.
@@ -166,7 +181,7 @@ def train_step_from_data(state: TrainState, data: Dict[str, jnp.ndarray],
     if "ignore" in data:
         batch["ignore"] = data["ignore"][idx]
     return train_step(state, batch, rng, vertex_loss_ratio, use_motion,
-                      aug_cfg, aug_hw)
+                      aug_cfg, aug_hw, head_layout)
 
 
 def make_sharded_train_step_from_data(mesh: Mesh,
@@ -174,7 +189,8 @@ def make_sharded_train_step_from_data(mesh: Mesh,
                                       donate: bool = True,
                                       use_motion: bool = False,
                                       aug_cfg=None,
-                                      aug_hw: Optional[Tuple[int, int]] = None):
+                                      aug_hw: Optional[Tuple[int, int]] = None,
+                                      head_layout: str = "NHWC"):
     """Data-parallel variant of train_step_from_data: the resident dataset
     is replicated per chip, ``idx`` is split over the 'data' axis, so each
     chip gathers its own shard of the minibatch with no collectives."""
@@ -183,7 +199,8 @@ def make_sharded_train_step_from_data(mesh: Mesh,
     step = functools.partial(train_step_from_data,
                              vertex_loss_ratio=vertex_loss_ratio,
                              use_motion=use_motion,
-                             aug_cfg=aug_cfg, aug_hw=aug_hw)
+                             aug_cfg=aug_cfg, aug_hw=aug_hw,
+                             head_layout=head_layout)
     return jax.jit(
         step,
         in_shardings=(repl, repl, data_s, repl),
@@ -201,21 +218,25 @@ def eval_forward(state: TrainState, image: jnp.ndarray
 
 
 def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray],
-              vertex_loss_ratio: float = 1.0, use_motion: bool = False
-              ) -> Dict[str, jnp.ndarray]:
+              vertex_loss_ratio: float = 1.0, use_motion: bool = False,
+              head_layout: str = "NHWC") -> Dict[str, jnp.ndarray]:
     """Loss/metrics without parameter updates (ref val(), :177-205)."""
-    vertex = _batch_vertex(batch, use_motion)
+    vertex = _batch_vertex(batch, use_motion, head_layout)
     seg_pred, ver_pred = eval_forward(state, batch["image"])
+    vw = batch["vertex_weights"]
+    if head_layout == "NCHW":
+        vw = vw.reshape(vw.shape[0], 1, *vw.shape[1:3])
     _, metrics = total_loss(seg_pred, ver_pred, batch["mask"],
-                            vertex, batch["vertex_weights"],
-                            vertex_loss_ratio)
+                            vertex, vw, vertex_loss_ratio,
+                            channel_axis=1 if head_layout == "NCHW" else -1)
     return metrics
 
 
 def make_sharded_train_step(mesh: Mesh, vertex_loss_ratio: float = 1.0,
                             donate: bool = True, use_motion: bool = False,
                             aug_cfg=None,
-                            aug_hw: Optional[Tuple[int, int]] = None):
+                            aug_hw: Optional[Tuple[int, int]] = None,
+                            head_layout: str = "NHWC"):
     """Jit the train step with data-parallel shardings over ``mesh``.
 
     State is replicated; batch arrays are split on dim 0 over the 'data'
@@ -229,7 +250,8 @@ def make_sharded_train_step(mesh: Mesh, vertex_loss_ratio: float = 1.0,
     step = functools.partial(train_step,
                              vertex_loss_ratio=vertex_loss_ratio,
                              use_motion=use_motion,
-                             aug_cfg=aug_cfg, aug_hw=aug_hw)
+                             aug_cfg=aug_cfg, aug_hw=aug_hw,
+                             head_layout=head_layout)
     if aug_cfg is not None:
         return jax.jit(
             step,
@@ -246,10 +268,12 @@ def make_sharded_train_step(mesh: Mesh, vertex_loss_ratio: float = 1.0,
 
 
 def make_sharded_eval_step(mesh: Mesh, vertex_loss_ratio: float = 1.0,
-                           use_motion: bool = False):
+                           use_motion: bool = False,
+                           head_layout: str = "NHWC"):
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
     step = functools.partial(eval_step,
                              vertex_loss_ratio=vertex_loss_ratio,
-                             use_motion=use_motion)
+                             use_motion=use_motion,
+                             head_layout=head_layout)
     return jax.jit(step, in_shardings=(repl, data), out_shardings=repl)

@@ -48,6 +48,51 @@ class TestWarp:
         assert np.percentile(diff, 99) < 2.0
         assert (got_mask != ref_mask).mean() < 0.02
 
+    def test_u32_warp_matches_f32_warp(self):
+        """The packed-word warp (uint8 fast path) must reproduce the f32
+        warp exactly: u8 values are exact in f32 and both use identical
+        tap/blend math."""
+        img, mask, _ = make_scene()
+        rng = np.random.RandomState(3)
+        for _ in range(4):
+            ang = rng.uniform(-0.6, 0.6)
+            s = rng.uniform(0.8, 1.3)
+            c, sn = s * np.cos(ang), s * np.sin(ang)
+            M = np.array([[c, sn, rng.uniform(-20, 5)],
+                          [-sn, c, rng.uniform(-5, 20)]], np.float32)
+            out_h, out_w = 80, 96
+            a_img, a_mask = AD._warp_image(
+                jnp.asarray(img, jnp.float32), jnp.asarray(mask),
+                jnp.asarray(M), out_h, out_w)
+            b_img, b_mask = AD._warp_image_u32(
+                jnp.asarray(img, jnp.uint8),
+                jnp.asarray(mask, jnp.uint8),
+                jnp.asarray(M), out_h, out_w)
+            np.testing.assert_allclose(np.asarray(a_img),
+                                       np.asarray(b_img),
+                                       rtol=1e-5, atol=1e-3)
+            np.testing.assert_array_equal(np.asarray(a_mask),
+                                          np.asarray(b_mask))
+
+    def test_augment_batch_u8_matches_f32(self):
+        """augment_batch must produce identical results for uint8 and
+        float32 input images (the u8 path routes through the packed
+        warp)."""
+        img, mask, hc = make_scene()
+        cfg = AugConfig()
+        key = jax.random.PRNGKey(5)
+        imgs8 = jnp.asarray(img[None], jnp.uint8)
+        imgsf = jnp.asarray(img[None], jnp.float32)
+        masks = jnp.asarray(mask[None], jnp.int32)
+        hcs = jnp.asarray(hc[None])
+        a = AD.augment_batch(imgsf, masks, hcs, key, (64, 64), cfg)
+        b = AD.augment_batch(imgs8, masks, hcs, key, (64, 64), cfg)
+        np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]),
+                                   rtol=1e-4, atol=1e-3)
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+        np.testing.assert_allclose(np.asarray(a[2]), np.asarray(b[2]),
+                                   rtol=1e-5)
+
     def test_affine_inverse(self):
         M = jnp.asarray([[0.7, 0.3, 4.0], [-0.3, 0.7, -2.0]])
         Minv = AD._invert_affine(M)

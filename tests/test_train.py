@@ -65,6 +65,55 @@ class TestLosses:
         np.testing.assert_allclose(float(r[0]), 5 / 9, rtol=1e-6)
 
 
+class TestLossChannelMajor:
+    """channel_axis=1 (NCHW-head) loss forms must match the NHWC ones
+    exactly — the cmajor path exists purely for HBM layout (train/loss.py
+    docstring), not different math."""
+
+    def test_seg_loss_layouts_agree(self, rng):
+        logits = rng.randn(2, 8, 8, 3).astype(np.float32)
+        labels = rng.randint(0, 3, (2, 8, 8))
+        a = loss_mod.seg_loss(jnp.asarray(logits), jnp.asarray(labels))
+        b = loss_mod.seg_loss(jnp.asarray(logits.transpose(0, 3, 1, 2)),
+                              jnp.asarray(labels), channel_axis=1)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+    def test_smooth_l1_layouts_agree(self, rng):
+        pred = rng.randn(2, 8, 8, 6).astype(np.float32)
+        target = rng.randn(2, 8, 8, 6).astype(np.float32)
+        w = (rng.rand(2, 8, 8, 1) < 0.5).astype(np.float32)
+        a = loss_mod.smooth_l1_vertex_loss(
+            jnp.asarray(pred), jnp.asarray(target), jnp.asarray(w))
+        b = loss_mod.smooth_l1_vertex_loss(
+            jnp.asarray(pred.transpose(0, 3, 1, 2)),
+            jnp.asarray(target.transpose(0, 3, 1, 2)),
+            jnp.asarray(w.transpose(0, 3, 1, 2)), channel_axis=1)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+    def test_precision_recall_layouts_agree(self, rng):
+        logits = rng.randn(3, 8, 8, 2).astype(np.float32)
+        mask = rng.randint(0, 2, (3, 8, 8))
+        pa, ra = loss_mod.precision_recall(jnp.asarray(logits),
+                                           jnp.asarray(mask))
+        pb, rb = loss_mod.precision_recall(
+            jnp.asarray(logits.transpose(0, 3, 1, 2)), jnp.asarray(mask),
+            channel_axis=1)
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb))
+        np.testing.assert_allclose(np.asarray(ra), np.asarray(rb))
+
+    def test_vertex_targets_layouts_agree(self, rng):
+        from pvnet_tpu.data.vertex import compute_vertex_targets
+        mask = (rng.rand(2, 16, 16) < 0.3).astype(np.int32)
+        hc = np.concatenate([rng.rand(2, 5, 2) * 16, np.ones((2, 5, 1))],
+                            axis=-1).astype(np.float32)
+        a = np.asarray(compute_vertex_targets(jnp.asarray(mask),
+                                              jnp.asarray(hc)))
+        b = np.asarray(compute_vertex_targets(jnp.asarray(mask),
+                                              jnp.asarray(hc),
+                                              layout="NCHW"))
+        np.testing.assert_allclose(a.transpose(0, 3, 1, 2), b, rtol=1e-6)
+
+
 def _tiny_batch(rng, b=8, h=32, w=32, vd=6):
     return {
         "image": rng.randn(b, h, w, 3).astype(np.float32),
@@ -96,6 +145,63 @@ class TestTrainer:
             losses.append(float(metrics["loss"]))
         assert losses[-1] < losses[0]
         assert int(state.step) == 5
+
+    def test_train_step_nchw_head_matches_nhwc(self, rng):
+        """The channel-major training path (NCHW head + channel_axis=1
+        loss + cmajor vertex targets) is a pure layout change: same
+        params in, same metrics and same updated params out."""
+        cfg = TrainConfig()
+        m_nhwc = build_model("resnet18_8s", ver_dim=6)
+        m_nchw = build_model("resnet18_8s", ver_dim=6,
+                             head_layout="NCHW")
+        state = trainer_mod.create_train_state(
+            m_nhwc, cfg, (2, 32, 32, 3), jax.random.PRNGKey(0))
+        state_c = trainer_mod.create_train_state(
+            m_nchw, cfg, (2, 32, 32, 3), jax.random.PRNGKey(0))
+        # identical param trees by construction (_HeadConvCMajor contract)
+        state_c = state_c.replace(params=state.params,
+                                  batch_stats=state.batch_stats)
+        b = _tiny_batch(rng, b=2)
+        b.pop("vertex")
+        b["hcoords"] = np.concatenate(
+            [rng.rand(2, 3, 2).astype(np.float32) * 32,
+             np.ones((2, 3, 1), np.float32)], axis=-1)
+        batch = {k: jnp.asarray(v) for k, v in b.items()}
+        import functools
+        s1, m1 = jax.jit(trainer_mod.train_step)(state, batch)
+        s2, m2 = jax.jit(functools.partial(
+            trainer_mod.train_step, head_layout="NCHW"))(state_c, batch)
+        for k in m1:
+            np.testing.assert_allclose(float(m1[k]), float(m2[k]),
+                                       rtol=1e-4, atol=1e-6, err_msg=k)
+
+        # compare raw gradients (post-Adam params would amplify f32
+        # reduction-order noise on near-zero grads into +-lr sign flips)
+        from pvnet_tpu.train.loss import total_loss
+        from pvnet_tpu.data.vertex import compute_vertex_targets
+
+        def grads_of(st, layout):
+            vert = compute_vertex_targets(batch["mask"], batch["hcoords"],
+                                          layout=layout)
+            vw = batch["vertex_weights"]
+            if layout == "NCHW":
+                vw = vw.reshape(vw.shape[0], 1, *vw.shape[1:3])
+
+            def loss_fn(params):
+                (sp, vp), _ = st.apply_fn(
+                    {"params": params, "batch_stats": st.batch_stats},
+                    batch["image"], train=True, mutable=["batch_stats"])
+                loss, _ = total_loss(
+                    sp, vp, batch["mask"], vert, vw,
+                    channel_axis=1 if layout == "NCHW" else -1)
+                return loss
+            return jax.grad(loss_fn)(st.params)
+
+        g1 = jax.tree_util.tree_leaves(grads_of(state, "NHWC"))
+        g2 = jax.tree_util.tree_leaves(grads_of(state_c, "NCHW"))
+        for a, bb in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                       rtol=1e-3, atol=1e-5)
 
     def test_sharded_train_step_8_devices(self, rng):
         assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"

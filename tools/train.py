@@ -73,6 +73,12 @@ def parse_args():
                    help="keep the whole training set resident in HBM "
                         "(uint8) and gather minibatches by index on "
                         "device; implies --device_aug")
+    p.add_argument("--head_layout", default=None,
+                   choices=("NHWC", "NCHW"),
+                   help="model head emission layout (default: recipe "
+                        "value). NCHW runs the training loss channel-"
+                        "major — the TPU-fast form (train/loss.py); "
+                        "checkpoints interchange between layouts")
     return p.parse_args()
 
 
@@ -103,6 +109,8 @@ def main():
     if args.device_data:
         cfg.device_aug = True
         cfg.device_data = True
+    if args.head_layout is not None:
+        cfg.head_layout = args.head_layout
 
     paths = PathConfig(data_dir=args.data_dir) if args.data_dir \
         else PathConfig()
