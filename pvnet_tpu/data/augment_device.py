@@ -25,10 +25,12 @@ OpenCV half-degrees; differences are below quantization noise).
 """
 from __future__ import annotations
 
+import math
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pvnet_tpu.config import AugConfig, IMAGENET_MEAN, IMAGENET_STD
 
@@ -244,8 +246,162 @@ def _warp_image_u32(img: jnp.ndarray, mask: jnp.ndarray, M: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
-# Photometric ops
+# Separable (two-pass) affine warp — the TPU-native formulation
 # ---------------------------------------------------------------------------
+#
+# The gather warps above cost ~210-230 ms per 16-image 480x640 batch on this
+# backend: XLA's per-element gather pays a per-index cost that dwarfs the
+# byte traffic (packing rgb+mask into one u32 word only bought 10%). This
+# formulation eliminates per-element gathers entirely.
+#
+# The affine warp factors into two 1-D resamples (Catmull-Smith 2-pass):
+# with the dst->src map
+#   xs = a x + b y + c ;  ys = d x + e y + f
+# first resample each source COLUMN x1 along y at
+#   ys'(x1, y) = (d/a) x1 + (e - d b/a) y + (f - d c/a)
+# then resample each intermediate row along x at  xs = a x + (b y + c).
+# The continuous composition passes through (xs, ys) exactly; discretely,
+# the two vertical taps sit at ys' evaluated at floor(xs)/floor(xs)+1,
+# i.e. on a line slanted by (d/a) per column — a sub-pixel vertical
+# offset of at most |d/a|/2 <= tan(30deg)/2 ~ 0.29 px vs one-pass
+# bilinear. That is the standard quality trade of 2-pass resampling; for
+# augmentation it is at least as faithful as the reference's own chain,
+# which resamples TWICE (rotate_instance -> resize, ref augmentation.py:
+# 55-64, 250-279), where our gather warp resamples once. The affine
+# GEOMETRY (keypoint/hcoord transforms) is identical; the nearest-mask
+# differs from one-pass only in a <=1 px boundary band; rotation=0
+# affines (crop/resize-only recipes) are bit-exact vs one-pass.
+# Each 1-D resample has a SHARED scale (per image) and offsets
+# linear in the other coordinate, which splits as
+#   p = s*x + o_r = [s*x + frac(o_r)] + floor(o_r)
+#   -> per-row CIRCULAR integer shift (ops/row_shift.py Pallas kernel:
+#      log2(C) static rolls + bit selects, no per-element indexing; the
+#      wrap is harmless because validity is computed from the true
+#      unwrapped position and out-of-range outputs are zeroed)
+#   -> three 0/1 SELECTION matmuls T_k[r, x] = Row[(base(x)+k) mod C]
+#      with base(x) = floor(s*x) shared across rows (MXU work, exact:
+#      one nonzero per output column)
+#   -> an elementwise carry/blend with u = frac(s*x) + frac(o_r).
+# Everything runs CHANNEL-MAJOR on [b, ch, rows, cols] planes whose minor
+# dim is the full image width/height — the first (refuted) version of
+# this pass ran NHWC with ch=4 minor (32x lane-padded in HBM) and a
+# windowed take_along_axis shift (68.6 ms alone) and measured 287 ms;
+# this plane+kernel form runs the WHOLE aug step (gather + stats + warp
+# + flip + blur + jitter + norm) in 15.9 ms at b16 480x640 vs ~232 ms
+# for the packed-u32 gather warp (tools/bench_train_pieces.py --pieces
+# aug, real TPU). The mask rides as a 4th plane through the same matmuls
+# and takes the nearest tap instead of the blend. Nearest-mask caveat: the vertical sample
+# position is evaluated at the *rounded* horizontal tap rather than the
+# fractional one, so mask pixels whose ys sits within |d/a|*0.5 px of a
+# .5 boundary may round differently from the one-pass warp (a <=1 px
+# band at instance edges; irrelevant for augmentation).
+#
+# Requires a = A_inv[0,0] > 0 — true for the training family (rotation
+# <= +-30 deg, scale in [0.8, 1.2]); callers fall back to the gather warp
+# for exotic affines.
+
+def _sep_pass_cm(X: jnp.ndarray, scale: jnp.ndarray, offset: jnp.ndarray,
+                 c_out: int) -> jnp.ndarray:
+    """One 1-D resample of channel-major X [b, ch, R, C] along its minor
+    C axis: out[b, ch, r, x] = lerp(X[b, ch, r, :] at position
+    scale[b]*x + offset[b, r]), zero outside [0, C-1]. Channel 3 (if
+    present) takes the nearest tap (mask semantics); others blend.
+
+    Returns [b, ch, R, c_out] float32.
+    """
+    from pvnet_tpu.ops.row_shift import shift_lanes
+
+    b, ch, R, C = X.shape
+
+    i_r = jnp.floor(offset)                                 # [b, R]
+    g_r = offset - i_r                                      # frac in [0,1)
+
+    # per-row circular shift by floor(offset); broadcast over channels
+    starts = jnp.broadcast_to(i_r.astype(jnp.int32)[:, None, :],
+                              (b, ch, R)).reshape(b * ch, R)
+    Xs = shift_lanes(X.reshape(b * ch, R, C), starts)       # [b*ch, R, C]
+
+    x = jnp.arange(c_out, dtype=jnp.float32)
+    sx = scale[:, None] * x[None, :]                        # [b, c_out]
+    base = jnp.floor(sx)
+    r_x = sx - base                                         # frac(s*x)
+    base_i = base.astype(jnp.int32)
+
+    t = jnp.arange(C, dtype=jnp.int32)
+    # selection matrices W_k[b, t, x] = (t == (base(x)+k) mod C): exact
+    # 0/1, one nonzero per output column; wrapped taps land on invalid
+    # (zeroed) outputs only
+    sel = jnp.stack([jnp.mod(base_i + k, C) for k in range(3)],
+                    axis=1)                                 # [b, 3, c_out]
+    Wsel = (t[None, :, None, None] == sel[:, None]).astype(jnp.float32)
+    Wflat = Wsel.reshape(b, C, 3 * c_out)
+    Xm = Xs.reshape(b, ch * R, C).astype(jnp.float32)
+    # single-nonzero columns make this exact at any precision; HIGHEST
+    # keeps the f32 values bit-clean through the MXU
+    T = jax.lax.dot_general(Xm, Wflat, (((2,), (1,)), ((0,), (0,))),
+                            precision=jax.lax.Precision.HIGHEST)
+    T = T.reshape(b, ch, R, 3, c_out)                       # taps on axis 3
+
+    # true sample position p = s*x + g_r + i_r; validity from p directly
+    p = sx[:, None, :] + g_r[..., None] + i_r[..., None]    # [b, R, c_out]
+    u_all = r_x[:, None, :] + g_r[..., None]                # [b, R, c_out]
+    carry = u_all >= 1.0
+    u = u_all - carry                                       # frac(p)
+    lo = jnp.floor(p)
+    v_lo = ((lo >= 0) & (lo <= C - 1))[:, None]             # [b, 1, R, c_out]
+    v_hi = ((lo + 1 >= 0) & (lo + 1 <= C - 1))[:, None]
+    carry_c = carry[:, None]
+    u_c = u[:, None]
+
+    A = jnp.where(carry_c, T[:, :, :, 1], T[:, :, :, 0]) * v_lo
+    Bt = jnp.where(carry_c, T[:, :, :, 2], T[:, :, :, 1]) * v_hi
+    out = (1.0 - u_c) * A + u_c * Bt                        # [b, ch, R, c_out]
+
+    if ch == 4:                                             # nearest mask
+        # nearest tap = raw tap value selected by round(frac); A/Bt are
+        # already validity-zeroed, so out-of-range rounds to 0 (border)
+        mask_out = jnp.where(u >= 0.5, Bt[:, 3], A[:, 3])
+        out = jnp.concatenate([out[:, :3], mask_out[:, None]], axis=1)
+    return out
+
+
+def _warp_batch_sep(img: jnp.ndarray, mask: jnp.ndarray, Ms: jnp.ndarray,
+                    out_h: int, out_w: int, s_max: float = 0.0
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched two-pass affine warp (see the design note above).
+
+    img [b, H, W, 3] (uint8 or float), mask [b, H, W], Ms [b, 2, 3]
+    forward affines. s_max is accepted for API compatibility but unused
+    (the circular-shift form needs no static window bound).
+    Returns (img f32 [b, out_h, out_w, 3], mask int32 [b, out_h, out_w]).
+    """
+    b, H, W = mask.shape
+    A = jax.vmap(_invert_affine)(Ms)                        # [b, 2, 3]
+    a, b_, c = A[:, 0, 0], A[:, 0, 1], A[:, 0, 2]
+    d, e, f = A[:, 1, 0], A[:, 1, 1], A[:, 1, 2]
+    p = d / a
+    q = e - d * b_ / a
+    r = f - d * c / a
+
+    # channel-major planes with H minor for pass V: [b, 4, W, H]
+    planes = jnp.concatenate(
+        [jnp.transpose(img, (0, 3, 2, 1)).astype(jnp.float32),
+         jnp.transpose(mask, (0, 2, 1)).astype(jnp.float32)[:, None]],
+        axis=1)                                             # [b, 4, W, H]
+
+    # pass V: resample along y at ys' = q*y + (p*x1 + r), per source column
+    x1 = jnp.arange(W, dtype=jnp.float32)
+    oV = p[:, None] * x1[None, :] + r[:, None]              # [b, W]
+    I1 = _sep_pass_cm(planes, q, oV, out_h)                 # [b, 4, W, out_h]
+
+    # pass H: resample along x at xs = a*x + (b_*y + c), per output row
+    I1t = jnp.transpose(I1, (0, 1, 3, 2))                   # [b, 4, out_h, W]
+    y = jnp.arange(out_h, dtype=jnp.float32)
+    oH = b_[:, None] * y[None, :] + c[:, None]              # [b, out_h]
+    O = _sep_pass_cm(I1t, a, oH, out_w)                     # [b,4,out_h,out_w]
+
+    img_out = jnp.transpose(O[:, :3], (0, 2, 3, 1))         # NHWC
+    return img_out, jnp.rint(O[:, 3]).astype(jnp.int32)
 
 _BLUR_SIZES = (3, 5, 7, 9)
 _MAX_K = 9
@@ -398,13 +554,22 @@ def augment_batch(image: jnp.ndarray, mask: jnp.ndarray,
         warp_keys = jax.random.split(k_warp, b)
         Ms = jax.vmap(lambda m, k: _sample_warp(m, k, out_h, out_w, cfg))(
             mask, warp_keys)                                 # [b, 2, 3]
-        # uint8 input takes the packed-word warp (4 dense gathers serve
-        # image AND mask; ~28x less physical gather traffic than the f32
-        # form — see _warp_image_u32); float input keeps the f32 warp.
-        warp = _warp_image_u32 if u8_in else _warp_image
-        image, mask = jax.vmap(
-            lambda im, m, M: warp(im, m, M, out_h, out_w))(
-            image, mask, Ms)
+        rot_max = max(abs(cfg.rot_ang_min), abs(cfg.rot_ang_max))
+        if rot_max < 75.0:
+            # two-pass separable warp: shift + selection matmuls, no
+            # per-element gathers (see the _sep_pass design note for the
+            # sub-pixel quality trade vs the one-pass gather warps)
+            s_max = (max(cfg.resize_ratio_max, 1.0 / cfg.resize_ratio_min)
+                     / math.cos(math.radians(rot_max)))
+            image, mask = _warp_batch_sep(image, mask, Ms, out_h, out_w,
+                                          s_max)
+        else:
+            # gather fallback for exotic rotation ranges (a ~ cos(rot)
+            # must stay away from 0 for the separable factorization)
+            warp = _warp_image_u32 if u8_in else _warp_image
+            image, mask = jax.vmap(
+                lambda im, m, M: warp(im, m, M, out_h, out_w))(
+                image, mask, Ms)
         last = jnp.broadcast_to(jnp.array([[0.0, 0.0, 1.0]]), (b, 1, 3))
         T = jnp.concatenate([Ms, last], axis=1)              # [b, 3, 3]
         hcoords = jnp.einsum("bkj,bij->bki", hcoords, T)
