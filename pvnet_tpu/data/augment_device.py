@@ -366,14 +366,17 @@ def _sep_pass_cm(X: jnp.ndarray, scale: jnp.ndarray, offset: jnp.ndarray,
 
 
 def _warp_batch_sep(img: jnp.ndarray, mask: jnp.ndarray, Ms: jnp.ndarray,
-                    out_h: int, out_w: int, s_max: float = 0.0
+                    out_h: int, out_w: int, s_max: float = 0.0,
+                    out_layout: str = "NHWC"
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched two-pass affine warp (see the design note above).
 
     img [b, H, W, 3] (uint8 or float), mask [b, H, W], Ms [b, 2, 3]
     forward affines. s_max is accepted for API compatibility but unused
     (the circular-shift form needs no static window bound).
-    Returns (img f32 [b, out_h, out_w, 3], mask int32 [b, out_h, out_w]).
+    Returns (img f32 [b, out_h, out_w, 3], mask int32 [b, out_h, out_w]);
+    out_layout='NCHW' returns the image channel-major [b, 3, out_h, out_w]
+    — the pipeline's native emission (no final transpose at all).
     """
     b, H, W = mask.shape
     A = jax.vmap(_invert_affine)(Ms)                        # [b, 2, 3]
@@ -400,8 +403,10 @@ def _warp_batch_sep(img: jnp.ndarray, mask: jnp.ndarray, Ms: jnp.ndarray,
     oH = b_[:, None] * y[None, :] + c[:, None]              # [b, out_h]
     O = _sep_pass_cm(I1t, a, oH, out_w)                     # [b,4,out_h,out_w]
 
-    img_out = jnp.transpose(O[:, :3], (0, 2, 3, 1))         # NHWC
-    return img_out, jnp.rint(O[:, 3]).astype(jnp.int32)
+    mask_out = jnp.rint(O[:, 3]).astype(jnp.int32)
+    if out_layout == "NCHW":
+        return O[:, :3], mask_out
+    return jnp.transpose(O[:, :3], (0, 2, 3, 1)), mask_out
 
 _BLUR_SIZES = (3, 5, 7, 9)
 _MAX_K = 9
@@ -433,9 +438,11 @@ def _gauss_weights_bank() -> jnp.ndarray:
     return jnp.asarray(bank)
 
 
-def _separable_blur(img: jnp.ndarray, wts: jnp.ndarray) -> jnp.ndarray:
+def _separable_blur(img: jnp.ndarray, wts: jnp.ndarray,
+                    spatial_axes: Tuple[int, int] = (1, 2)) -> jnp.ndarray:
     """Apply a per-image separable kernel via shifted weighted sums.
-    img [b, h, w, 3]; wts [b, 9]. Reflect-101 border like OpenCV."""
+    img [b, h, w, 3] (spatial_axes=(1, 2)) or channel-major [b, 3, h, w]
+    (spatial_axes=(2, 3)); wts [b, 9]. Reflect-101 border like OpenCV."""
     half = _MAX_K // 2
 
     def pass_axis(x, axis):
@@ -449,24 +456,37 @@ def _separable_blur(img: jnp.ndarray, wts: jnp.ndarray) -> jnp.ndarray:
             acc = acc + wts[:, i, None, None, None] * xp[tuple(sl)]
         return acc
 
-    return pass_axis(pass_axis(img, 1), 2)
+    return pass_axis(pass_axis(img, spatial_axes[0]), spatial_axes[1])
 
 
-def _rgb_to_hsv(rgb: jnp.ndarray):
-    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+def _rgb_to_hsv(rgb: jnp.ndarray, ch_axis: int = -1):
+    if ch_axis == -1:
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    else:
+        r, g, b = rgb[:, 0], rgb[:, 1], rgb[:, 2]
     mx = jnp.maximum(jnp.maximum(r, g), b)
     mn = jnp.minimum(jnp.minimum(r, g), b)
     d = mx - mn
     safe_d = jnp.where(d == 0, 1.0, d)
-    h = jnp.where(mx == r, ((g - b) / safe_d) % 6.0,
-                  jnp.where(mx == g, (b - r) / safe_d + 2.0,
+    # Branch on direct channel comparisons, NOT on ``mx == r``: under jit
+    # XLA duplicates the producer chain of r/g/b into each fusion with
+    # fma-contraction differences, so a recomputed ``mx`` can compare
+    # unequal to ALL channels and fall through to a garbage sector (a
+    # measured ~0.77 hue error on real pixels). ``r >= g & r >= b``
+    # always selects a sector whose formula is valid for (near-)maximal
+    # r; exact ties agree across sectors, so a 1-ULP flip is harmless.
+    is_r = (r >= g) & (r >= b)
+    is_g = (~is_r) & (g >= b)
+    h = jnp.where(is_r, ((g - b) / safe_d) % 6.0,
+                  jnp.where(is_g, (b - r) / safe_d + 2.0,
                             (r - g) / safe_d + 4.0)) / 6.0
     h = jnp.where(d == 0, 0.0, h)
     s = jnp.where(mx == 0, 0.0, d / jnp.where(mx == 0, 1.0, mx))
     return h, s, mx
 
 
-def _hsv_to_rgb(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray):
+def _hsv_to_rgb(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray,
+                ch_axis: int = -1):
     i = jnp.floor(h * 6.0)
     f = h * 6.0 - i
     p = v * (1 - s)
@@ -479,13 +499,14 @@ def _hsv_to_rgb(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray):
                    [t, v, v, q, p, p])
     b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
                    [p, p, t, v, v, q])
-    return jnp.stack([r, g, b], axis=-1)
+    return jnp.stack([r, g, b], axis=(-1 if ch_axis == -1 else 1))
 
 
 def _color_jitter(img: jnp.ndarray, key: jax.Array,
-                  cfg: AugConfig) -> jnp.ndarray:
+                  cfg: AugConfig, ch_axis: int = -1) -> jnp.ndarray:
     """Fused brightness/contrast/saturation FMA + HSV hue rotation
-    (host equivalent: augment.color_jitter). img [b, h, w, 3] in 0..255."""
+    (host equivalent: augment.color_jitter). img [b, h, w, 3] in 0..255
+    (ch_axis=-1) or channel-major [b, 3, h, w] (ch_axis=1)."""
     b = img.shape[0]
     kb, kc, ks, kh = jax.random.split(key, 4)
 
@@ -499,20 +520,24 @@ def _color_jitter(img: jnp.ndarray, key: jax.Array,
     fc = factor(kc, cfg.contrast)
     fs = factor(ks, cfg.saturation)
 
-    gray = (0.299 * img[..., 0] + 0.587 * img[..., 1]
-            + 0.114 * img[..., 2])                          # [b, h, w]
+    if ch_axis == -1:
+        r, g, bl = img[..., 0], img[..., 1], img[..., 2]
+    else:
+        r, g, bl = img[:, 0], img[:, 1], img[:, 2]
+    gray = 0.299 * r + 0.587 * g + 0.114 * bl               # [b, h, w]
     gmean = jnp.mean(gray, axis=(1, 2))
     a = (fb * fc * fs)[:, None, None, None]
     bco = (fb * fc * (1 - fs))[:, None, None, None]
     cco = (fb * (1 - fc) * gmean)[:, None, None, None]
-    out = a * img + bco * gray[..., None] + cco
+    gray_b = gray[..., None] if ch_axis == -1 else gray[:, None]
+    out = a * img + bco * gray_b + cco
     out = jnp.clip(out, 0.0, 255.0)
 
     if cfg.hue > 0:
         fh = jax.random.uniform(kh, (b,), minval=-cfg.hue, maxval=cfg.hue)
-        h, s, v = _rgb_to_hsv(out / 255.0)
+        h, s, v = _rgb_to_hsv(out / 255.0, ch_axis)
         h = (h + fh[:, None, None]) % 1.0
-        out = _hsv_to_rgb(h, s, v) * 255.0
+        out = _hsv_to_rgb(h, s, v, ch_axis) * 255.0
     return out
 
 
@@ -523,7 +548,7 @@ def _color_jitter(img: jnp.ndarray, key: jax.Array,
 def augment_batch(image: jnp.ndarray, mask: jnp.ndarray,
                   hcoords: jnp.ndarray, key: jax.Array,
                   out_hw: Tuple[int, int], cfg: AugConfig,
-                  normalize: bool = True
+                  normalize: bool = True, out_layout: str = "NHWC"
                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched jittable augmentation.
 
@@ -536,13 +561,20 @@ def augment_batch(image: jnp.ndarray, mask: jnp.ndarray,
       cfg:     the recipe's aug_cfg (same schema as the host pipeline).
       normalize: apply ImageNet mean/std at the end (matching the host
         dataset's output contract).
+      out_layout: 'NHWC' (default) emits the image [b, out_h, out_w, 3];
+        'NCHW' emits it channel-major [b, 3, out_h, out_w] — the warp's
+        native plane layout, so the whole photometric chain runs on
+        dense-lane [.., h, w] planes and NO c=3-minor tensor (42x
+        lane-padded in HBM) is ever materialized. Pair with a model built
+        with input_layout='NCHW'. Same random draws either way.
 
     Returns:
-      (image [b, out_h, out_w, 3], mask [b, out_h, out_w] int32,
-       hcoords [b, k, 3]).
+      (image [b, out_h, out_w, 3] or [b, 3, out_h, out_w],
+       mask [b, out_h, out_w] int32, hcoords [b, k, 3]).
     """
     b = image.shape[0]
     out_h, out_w = out_hw
+    cm = out_layout == "NCHW"
     k_warp, k_flip, k_blur, k_jit, k_sel = jax.random.split(key, 5)
 
     u8_in = image.dtype == jnp.uint8
@@ -562,7 +594,7 @@ def augment_batch(image: jnp.ndarray, mask: jnp.ndarray,
             s_max = (max(cfg.resize_ratio_max, 1.0 / cfg.resize_ratio_min)
                      / math.cos(math.radians(rot_max)))
             image, mask = _warp_batch_sep(image, mask, Ms, out_h, out_w,
-                                          s_max)
+                                          s_max, out_layout=out_layout)
         else:
             # gather fallback for exotic rotation ranges (a ~ cos(rot)
             # must stay away from 0 for the separable factorization)
@@ -570,17 +602,24 @@ def augment_batch(image: jnp.ndarray, mask: jnp.ndarray,
             image, mask = jax.vmap(
                 lambda im, m, M: warp(im, m, M, out_h, out_w))(
                 image, mask, Ms)
+            if cm:
+                image = jnp.transpose(image, (0, 3, 1, 2))
         last = jnp.broadcast_to(jnp.array([[0.0, 0.0, 1.0]]), (b, 1, 3))
         T = jnp.concatenate([Ms, last], axis=1)              # [b, 3, 3]
         hcoords = jnp.einsum("bkj,bij->bki", hcoords, T)
     else:
         image = image[:, :out_h, :out_w].astype(jnp.float32)
         mask = mask[:, :out_h, :out_w]
+        if cm:
+            image = jnp.transpose(image, (0, 3, 1, 2))
+
+    # image axes from here on: NHWC [b, h, w, 3] or cm [b, 3, h, w]
+    w_axis = 3 if cm else 2
 
     # --- horizontal flip, p=0.5 per image ----------------------------------
     if cfg.flip:
         do = jax.random.bernoulli(k_flip, 0.5, (b,))
-        flipped = image[:, :, ::-1]
+        flipped = (image[:, :, :, ::-1] if cm else image[:, :, ::-1])
         image = jnp.where(do[:, None, None, None], flipped, image)
         mask = jnp.where(do[:, None, None], mask[:, :, ::-1], mask)
         hx = hcoords[..., 0]
@@ -593,16 +632,19 @@ def augment_batch(image: jnp.ndarray, mask: jnp.ndarray,
         bank = _gauss_weights_bank()                         # [4, 9]
         sel = jax.random.randint(k_sel, (b,), 0, len(_BLUR_SIZES))
         wts = bank[sel]                                      # [b, 9]
-        blurred = _separable_blur(image, wts)
+        blurred = _separable_blur(image, wts,
+                                  spatial_axes=(w_axis - 1, w_axis))
         do = jax.random.bernoulli(k_blur, 0.5, (b,))
         image = jnp.where(do[:, None, None, None], blurred, image)
 
     # --- color jitter -------------------------------------------------------
     if cfg.jitter:
-        image = _color_jitter(image, k_jit, cfg)
+        image = _color_jitter(image, k_jit, cfg, ch_axis=1 if cm else -1)
 
     if normalize:
         mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
         std = jnp.asarray(IMAGENET_STD, jnp.float32)
+        if cm:
+            mean, std = mean[:, None, None], std[:, None, None]
         image = (image / 255.0 - mean) / std
     return image, mask.astype(jnp.int32), hcoords

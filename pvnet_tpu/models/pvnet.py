@@ -121,6 +121,13 @@ class PVNet(nn.Module):
     # the backbone's layer3/4 (ops/quant_conv.py). Kept as an
     # accuracy-tested option; default off.
     quant_decoder: bool = False
+    # 'NCHW' accepts a channel-major [b, 3, h, w] image (the on-device
+    # augmentation's native emission, augment_batch(out_layout='NCHW')):
+    # the stem conv reads it via cm dimension numbers and the raw-stage
+    # concat-conv is computed as a split kernel sum (resnet.Conv.cm_split)
+    # — no [b, h, w, 3] tensor (42x lane-padded in HBM) is ever
+    # materialized inside the program. Same params as NHWC input.
+    input_layout: str = "NHWC"
 
     @nn.compact
     def __call__(self, x, train: bool = False,
@@ -148,12 +155,20 @@ class PVNet(nn.Module):
         x2s) for the depth-3 packed path,
         packed_tail.packed_tail_deep3_from_variables.)
         """
-        packed_in = x.shape[-1] == 12    # pre-packed rgb (stem='packed4')
-        if packed_in:
-            b, h2, w2, _ = x.shape
-            h, w = 2 * h2, 2 * w2
+        cm_in = self.input_layout == "NCHW"
+        if cm_in:                        # channel-major [b, 3, h, w]
+            assert not (return_tail_features or return_2s_features
+                        or return_4s_features or return_8s_features), \
+                "input_layout='NCHW': feature-return paths unsupported"
+            packed_in = False
+            b, _, h, w = x.shape
         else:
-            b, h, w, _ = x.shape
+            packed_in = x.shape[-1] == 12    # pre-packed rgb (stem='packed4')
+            if packed_in:
+                b, h2, w2, _ = x.shape
+                h, w = 2 * h2, 2 * w2
+            else:
+                b, h, w, _ = x.shape
         x_in = x.astype(self.dtype)
 
         backbone = ResNetBackbone(block=self.block,
@@ -161,7 +176,8 @@ class PVNet(nn.Module):
                                   output_stride=8, dtype=self.dtype,
                                   stem=self.stem,
                                   quant_stages=self.quant_stages,
-                                  quant_mode=self.quant_mode)
+                                  quant_mode=self.quant_mode,
+                                  input_layout=self.input_layout)
         x2s, x4s, x8s, x16s, x32s = backbone(x_in, train=train)
 
         conv = partial(nn.Conv, dtype=self.dtype,
@@ -207,18 +223,30 @@ class PVNet(nn.Module):
         fm = upsample_bilinear_align_corners(fm, h, w)
 
         # raw head (ref :53-58)
-        if packed_in:
-            from pvnet_tpu.models.resnet import depth_to_space2
-            x_in = depth_to_space2(x_in)
-        tail_in = jnp.concatenate([fm, x_in], axis=-1)
-        if return_tail_features:
-            cin = tail_in.shape[-1]
-            pad = (-cin) % 64
-            zeros = jnp.zeros(tail_in.shape[:-1] + (pad,), tail_in.dtype)
-            return jnp.concatenate([tail_in, zeros], axis=-1)
-        out = conv(self.raw_dim, (3, 3), padding=[(1, 1)] * 2,
-                   use_bias=False)(tail_in)
-        out = lrelu(norm()(out))
+        if cm_in:
+            # concat-conv == sum of convs on the kernel's channel slices;
+            # the rgb half reads the channel-major image directly
+            # (resnet.Conv.cm_split) — same Conv_4 kernel param.
+            from pvnet_tpu.models.resnet import Conv as CMConv
+            out = CMConv(self.raw_dim, (3, 3), padding=[(1, 1)] * 2,
+                         use_bias=False, dtype=self.dtype,
+                         kernel_init=he_fanout_normal(),
+                         cm_split=True)((fm, x_in))
+            out = lrelu(norm()(out))
+        else:
+            if packed_in:
+                from pvnet_tpu.models.resnet import depth_to_space2
+                x_in = depth_to_space2(x_in)
+            tail_in = jnp.concatenate([fm, x_in], axis=-1)
+            if return_tail_features:
+                cin = tail_in.shape[-1]
+                pad = (-cin) % 64
+                zeros = jnp.zeros(tail_in.shape[:-1] + (pad,),
+                                  tail_in.dtype)
+                return jnp.concatenate([tail_in, zeros], axis=-1)
+            out = conv(self.raw_dim, (3, 3), padding=[(1, 1)] * 2,
+                       use_bias=False)(tail_in)
+            out = lrelu(norm()(out))
 
         if self.head_layout == "NCHW":
             # channel-major emission (model dtype, no f32 cast of the

@@ -120,6 +120,73 @@ def fold_stem_params(tree):
     return flax.traverse_util.unflatten_dict(out)
 
 
+class Conv(nn.Conv):
+    """``nn.Conv`` that can read a channel-major [b, c, h, w] input while
+    still emitting the usual NHWC output (one ``lax.conv_general_dilated``
+    with ("NCHW", "HWIO", "NHWC") dimension numbers — XLA lowers the
+    layout change into the conv itself instead of a separate relayout).
+
+    Why: a [b, h, w, 3] f32 image is lane-padded 3->128 in HBM (~42x), so
+    *materializing* one inside a jitted program (e.g. the on-device
+    augmentation output feeding conv1) costs a ~2.5 GB relayout write per
+    16-image 480x640 batch at the measured ~20-30 GB/s relayout speed
+    (CLAUDE.md layout rules). Keeping the image channel-major end-to-end
+    (augment_batch(out_layout='NCHW') -> this stem) never materializes a
+    c=3-minor tensor at all.
+
+    ``cm_split=True`` takes a *pair* (x_nhwc, x_cm) and computes the
+    concat-conv ``conv(concat(x_nhwc, to_nhwc(x_cm)))`` exactly as the sum
+    of two convs on the kernel's channel slices — used by the decoder raw
+    stage, whose input is decoder features ++ rgb.
+
+    The class is deliberately named ``Conv`` so Flax's name-based
+    submodule auto-numbering produces the same param paths as ``nn.Conv``
+    (the ops/quant_conv.Conv trick) — checkpoints interchange.
+    """
+    cm_input: bool = False
+    cm_split: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        if not (self.cm_input or self.cm_split):
+            return super().__call__(x)
+        assert not self.use_bias, "cm conv: bias unsupported"
+        import jax
+        from jax import lax
+        ksz = tuple(self.kernel_size)
+        strides = self.strides if self.strides is not None else 1
+        if isinstance(strides, int):
+            strides = (strides,) * len(ksz)
+        padding = self.padding
+        if not isinstance(padding, str):
+            padding = [tuple(p) for p in padding]
+        if self.cm_split:
+            xh, xc = x
+            c1, c2 = xh.shape[-1], xc.shape[1]
+            kernel = self.param("kernel", self.kernel_init,
+                                ksz + (c1 + c2, self.features),
+                                self.param_dtype)
+            y = lax.conv_general_dilated(
+                xh.astype(self.dtype), kernel[:, :, :c1].astype(self.dtype),
+                window_strides=strides, padding=padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=self.precision)
+            y = y + lax.conv_general_dilated(
+                xc.astype(self.dtype), kernel[:, :, c1:].astype(self.dtype),
+                window_strides=strides, padding=padding,
+                dimension_numbers=("NCHW", "HWIO", "NHWC"),
+                precision=self.precision)
+            return y
+        cin = x.shape[1]
+        kernel = self.param("kernel", self.kernel_init,
+                            ksz + (cin, self.features), self.param_dtype)
+        return lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=strides, padding=padding,
+            dimension_numbers=("NCHW", "HWIO", "NHWC"),
+            precision=self.precision)
+
+
 class BasicBlock(nn.Module):
     """Two 3x3 convs + identity shortcut (ref resnet.py:41-70)."""
     filters: int
@@ -218,6 +285,11 @@ class ResNetBackbone(nn.Module):
     # checkpoints load as-is). Training always runs the float path.
     quant_stages: Sequence[int] = ()
     quant_mode: str = "dynamic"   # ops/quant_conv.Conv.mode
+    # 'NCHW' accepts a channel-major [b, 3, h, w] image: the stem conv
+    # reads it directly via ("NCHW","HWIO","NHWC") dimension numbers (see
+    # Conv.cm_input) so no c=3-minor NHWC tensor is ever materialized.
+    # Everything past the stem is NHWC as usual; params are identical.
+    input_layout: str = "NHWC"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -225,7 +297,13 @@ class ResNetBackbone(nn.Module):
         norm = partial(nn.BatchNorm, use_running_average=not train,
                        momentum=0.9, epsilon=1e-5, dtype=self.dtype)
 
-        if self.stem == "packed4":
+        if self.input_layout == "NCHW":
+            assert self.stem == "conv7", \
+                "input_layout='NCHW' requires the conv7 stem"
+            x = Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3)] * 2,
+                     use_bias=False, dtype=self.dtype,
+                     kernel_init=he_fanout_normal(), cm_input=True)(x)
+        elif self.stem == "packed4":
             if x.shape[-1] != 12:
                 x = space_to_depth2(x)
             x = conv(64, (4, 4), padding=[(2, 1), (2, 1)], use_bias=False,

@@ -91,7 +91,8 @@ def _batch_vertex(batch: Dict[str, jnp.ndarray], use_motion: bool,
 
 
 def _apply_device_aug(batch: Dict[str, jnp.ndarray], rng: jax.Array,
-                      aug_cfg, aug_hw) -> Dict[str, jnp.ndarray]:
+                      aug_cfg, aug_hw, image_layout: str = "NHWC"
+                      ) -> Dict[str, jnp.ndarray]:
     """Run the jittable augmentation inside the step (TPU-native input
     pipeline: the host ships raw pixels, the accelerator does the warps).
     batch must carry raw 0..255 images; 'ignore' [b] optionally masks the
@@ -99,7 +100,7 @@ def _apply_device_aug(batch: Dict[str, jnp.ndarray], rng: jax.Array,
     from pvnet_tpu.data.augment_device import augment_batch
     image, mask, hcoords = augment_batch(
         batch["image"], batch["mask"], batch["hcoords"], rng, aug_hw,
-        aug_cfg)
+        aug_cfg, out_layout=image_layout)
     vw = (mask > 0)[..., None].astype(jnp.float32)
     if "ignore" in batch:
         vw = vw * (1.0 - batch["ignore"])[:, None, None, None]
@@ -113,7 +114,7 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                rng: Optional[jax.Array] = None,
                vertex_loss_ratio: float = 1.0, use_motion: bool = False,
                aug_cfg=None, aug_hw: Optional[Tuple[int, int]] = None,
-               head_layout: str = "NHWC"
+               head_layout: str = "NHWC", input_layout: str = "NHWC"
                ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One optimization step. batch keys: image [b,h,w,3], mask [b,h,w],
     vertex_weights [b,h,w,1], and vertex [b,h,w,vd] or hcoords [b,k,3].
@@ -125,9 +126,20 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
     ``head_layout`` must match the model's: 'NCHW' runs the whole loss in
     channel-major layout (targets generated as [b, vd, h, w], losses with
     channel_axis=1) — the TPU-fast form, since full-res NHWC c=18/c=2
-    tensors are lane-padded 7x/64x in HBM (see train/loss.py)."""
+    tensors are lane-padded 7x/64x in HBM (see train/loss.py).
+
+    ``input_layout`` must likewise match the model's: 'NCHW' makes the
+    device augmentation emit the image channel-major [b, 3, h, w]
+    (augment_batch out_layout) for a model built with
+    input_layout='NCHW' — avoiding the c=3-minor NHWC materialization
+    between augmentation and conv1. Requires aug_cfg (the raw-batch
+    path); precomputed-batch callers ship NHWC images."""
     if aug_cfg is not None:
-        batch = _apply_device_aug(batch, rng, aug_cfg, aug_hw)
+        batch = _apply_device_aug(batch, rng, aug_cfg, aug_hw,
+                                  image_layout=input_layout)
+    else:
+        assert input_layout == "NHWC", \
+            "input_layout='NCHW' requires the on-device aug path"
     vertex = _batch_vertex(batch, use_motion, head_layout)
     ca = 1 if head_layout == "NCHW" else -1
     vw = batch["vertex_weights"]
@@ -162,7 +174,8 @@ def train_step_from_data(state: TrainState, data: Dict[str, jnp.ndarray],
                          use_motion: bool = False,
                          aug_cfg=None,
                          aug_hw: Optional[Tuple[int, int]] = None,
-                         head_layout: str = "NHWC"
+                         head_layout: str = "NHWC",
+                         input_layout: str = "NHWC"
                          ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """Device-resident input pipeline: one step that gathers its minibatch
     from the WHOLE training set living in HBM.
@@ -181,7 +194,7 @@ def train_step_from_data(state: TrainState, data: Dict[str, jnp.ndarray],
     if "ignore" in data:
         batch["ignore"] = data["ignore"][idx]
     return train_step(state, batch, rng, vertex_loss_ratio, use_motion,
-                      aug_cfg, aug_hw, head_layout)
+                      aug_cfg, aug_hw, head_layout, input_layout)
 
 
 def make_sharded_train_step_from_data(mesh: Mesh,
@@ -190,7 +203,8 @@ def make_sharded_train_step_from_data(mesh: Mesh,
                                       use_motion: bool = False,
                                       aug_cfg=None,
                                       aug_hw: Optional[Tuple[int, int]] = None,
-                                      head_layout: str = "NHWC"):
+                                      head_layout: str = "NHWC",
+                                      input_layout: str = "NHWC"):
     """Data-parallel variant of train_step_from_data: the resident dataset
     is replicated per chip, ``idx`` is split over the 'data' axis, so each
     chip gathers its own shard of the minibatch with no collectives."""
@@ -200,7 +214,8 @@ def make_sharded_train_step_from_data(mesh: Mesh,
                              vertex_loss_ratio=vertex_loss_ratio,
                              use_motion=use_motion,
                              aug_cfg=aug_cfg, aug_hw=aug_hw,
-                             head_layout=head_layout)
+                             head_layout=head_layout,
+                             input_layout=input_layout)
     return jax.jit(
         step,
         in_shardings=(repl, repl, data_s, repl),
@@ -236,7 +251,8 @@ def make_sharded_train_step(mesh: Mesh, vertex_loss_ratio: float = 1.0,
                             donate: bool = True, use_motion: bool = False,
                             aug_cfg=None,
                             aug_hw: Optional[Tuple[int, int]] = None,
-                            head_layout: str = "NHWC"):
+                            head_layout: str = "NHWC",
+                            input_layout: str = "NHWC"):
     """Jit the train step with data-parallel shardings over ``mesh``.
 
     State is replicated; batch arrays are split on dim 0 over the 'data'
@@ -251,7 +267,8 @@ def make_sharded_train_step(mesh: Mesh, vertex_loss_ratio: float = 1.0,
                              vertex_loss_ratio=vertex_loss_ratio,
                              use_motion=use_motion,
                              aug_cfg=aug_cfg, aug_hw=aug_hw,
-                             head_layout=head_layout)
+                             head_layout=head_layout,
+                             input_layout=input_layout)
     if aug_cfg is not None:
         return jax.jit(
             step,

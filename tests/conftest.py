@@ -17,6 +17,19 @@ if os.environ.get("PVNET_TEST_TPU", "0") != "1":
     # in this image; the config API wins.
     jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache for the suite: XLA-CPU compiles dominate the
+# ~35-min single-core wall time, and the long-run flaky segfault this suite
+# has seen lives INSIDE backend_compile (jax compiler.py:362) — cache hits
+# skip that code path entirely on reruns, shrinking both the wall time and
+# the crash window.
+_cache_dir = os.environ.get(
+    "PVNET_TEST_JAX_CACHE",
+    os.path.join(os.path.expanduser("~"), ".cache", "pvnet_tpu_xla_tests"))
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import shutil
 import subprocess
 

@@ -178,7 +178,8 @@ def main():
             acc, k = carry
             idx = idx_of(acc, k)
             v = compute_vertex_targets(
-                data["mask"][idx].astype(jnp.int32), data["hcoords"][idx])
+                data["mask"][idx].astype(jnp.int32), data["hcoords"][idx],
+                layout=args.head_layout)
             return (acc + 1.0 + v.mean() * 1e-6, k)
         results["vert"] = timeit_chained(
             vert_step, (jnp.float32(1.0), key), args.iters)
