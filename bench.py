@@ -95,7 +95,8 @@ from pvnet_tpu.utils.benchlib import timeit_chained
 
 
 def bench_train_step(batch: int, h: int, w: int, iters: int,
-                     head_layout: str = "NHWC"):
+                     head_layout: str = "NHWC",
+                     input_layout: str = "NHWC"):
     """Training throughput: the production device-resident train step
     (trainer.train_step_from_data) — HBM-resident uint8 frames, on-device
     augmentation, vertex-target generation, forward+backward+Adam — timed
@@ -112,9 +113,11 @@ def bench_train_step(batch: int, h: int, w: int, iters: int,
 
     cfg = TrainConfig(model_name="bench", train_batch_size=batch)
     model = build_model("resnet18_8s", ver_dim=18, seg_dim=2,
-                        dtype=jnp.bfloat16, head_layout=head_layout)
+                        dtype=jnp.bfloat16, head_layout=head_layout,
+                        input_layout=input_layout)
     key = jax.random.PRNGKey(7)
-    state = trainer.create_train_state(model, cfg, (1, h, w, 3), key)
+    in_shape = (1, 3, h, w) if input_layout == "NCHW" else (1, h, w, 3)
+    state = trainer.create_train_state(model, cfg, in_shape, key)
 
     # small resident pool of distinct synthetic frames (the gather inside
     # the step is by index, so pool size doesn't change per-step cost)
@@ -132,7 +135,8 @@ def bench_train_step(batch: int, h: int, w: int, iters: int,
     step = functools.partial(trainer.train_step_from_data,
                              vertex_loss_ratio=cfg.vertex_loss_ratio,
                              aug_cfg=cfg.aug_cfg, aug_hw=aug_hw,
-                             head_layout=head_layout)
+                             head_layout=head_layout,
+                             input_layout=input_layout)
 
     def step_fn(carry):
         st, acc = carry
@@ -220,8 +224,10 @@ def main():
                     default=True, help="skip the training-throughput bench")
     ap.add_argument("--train_layout", default="NHWC",
                     choices=("NHWC", "NCHW"),
-                    help="head layout for the training bench (NCHW = "
-                         "channel-major loss path, train/loss.py)")
+                    help="training-bench layout (NCHW = channel-major "
+                         "everywhere: cm aug emission + cm-input model "
+                         "+ cm loss path; see train/loss.py and "
+                         "models/resnet.Conv)")
     ap.add_argument("--train_batch", type=int, default=16,
                     help="training bench batch. 16 (synthetic recipe) "
                          "measured 33 imgs/s; the linemod recipe's 32 "
@@ -418,9 +424,11 @@ def main():
         record["uncertainty_poses_per_sec"] = round(b / t_unc, 2)
 
     if args.train_bench:
+        # NCHW = channel-major everywhere (head/loss AND image input)
         t_step, thw, tb = bench_train_step(args.train_batch, args.height,
                                            args.width, max(args.iters, 4),
-                                           head_layout=args.train_layout)
+                                           head_layout=args.train_layout,
+                                           input_layout=args.train_layout)
         record["train_steps_per_sec"] = round(1.0 / t_step, 3)
         record["train_imgs_per_sec"] = round(tb / t_step, 2)
         record["train_batch"] = tb

@@ -179,6 +179,13 @@ class TrainConfig:
     # full-res [b,c,h,w] keeps w as the dense minor dim where NHWC's
     # c=18/c=2 tensors are lane-padded 7x/64x in HBM (train/loss.py).
     head_layout: str = "NHWC"
+    # Model image-input layout: 'NCHW' makes the on-device augmentation
+    # emit channel-major [b, 3, h, w] and the stem conv read it directly
+    # (models/resnet.Conv cm_input) — no 42x-lane-padded [b, h, w, 3]
+    # materialization between aug and conv1. Only affects the device-aug
+    # training step; eval/inference still ship NHWC (the model dispatches
+    # on shape). Requires device_aug/device_data.
+    input_layout: str = "NHWC"
     # Backbone stages to run int8 PTQ at inference (ops/quant_conv.py);
     # e.g. [2, 3] = layer3+layer4. Training always runs float.
     quant_stages: tuple = ()

@@ -155,11 +155,15 @@ class PVNet(nn.Module):
         x2s) for the depth-3 packed path,
         packed_tail.packed_tail_deep3_from_variables.)
         """
-        cm_in = self.input_layout == "NCHW"
+        # input_layout='NCHW' models dispatch on the actual input shape, so
+        # the same instance serves the cm training path AND NHWC eval /
+        # inference callers (h, w are never 3, so the shapes disambiguate)
+        cm_in = (self.input_layout == "NCHW" and x.ndim == 4
+                 and x.shape[1] == 3 and x.shape[-1] != 3)
         if cm_in:                        # channel-major [b, 3, h, w]
             assert not (return_tail_features or return_2s_features
                         or return_4s_features or return_8s_features), \
-                "input_layout='NCHW': feature-return paths unsupported"
+                "channel-major input: feature-return paths unsupported"
             packed_in = False
             b, _, h, w = x.shape
         else:
@@ -177,7 +181,7 @@ class PVNet(nn.Module):
                                   stem=self.stem,
                                   quant_stages=self.quant_stages,
                                   quant_mode=self.quant_mode,
-                                  input_layout=self.input_layout)
+                                  input_layout="NCHW" if cm_in else "NHWC")
         x2s, x4s, x8s, x16s, x32s = backbone(x_in, train=train)
 
         conv = partial(nn.Conv, dtype=self.dtype,

@@ -70,6 +70,8 @@ class TrainLoop:
             model_kw["quant_decoder"] = True
         if cfg.head_layout != "NHWC":
             model_kw["head_layout"] = cfg.head_layout
+        if getattr(cfg, "input_layout", "NHWC") != "NHWC":
+            model_kw["input_layout"] = cfg.input_layout
         self.model = build_model(cfg.network, ver_dim=self.vote_num * 2,
                                  seg_dim=2,
                                  dtype=jnp.bfloat16 if cfg.bf16
@@ -129,14 +131,16 @@ class TrainLoop:
                         self.mesh, self.cfg.vertex_loss_ratio, donate=False,
                         use_motion=self.cfg.motion_model,
                         aug_cfg=self.cfg.aug_cfg, aug_hw=aug_hw,
-                        head_layout=self.cfg.head_layout)
+                        head_layout=self.cfg.head_layout,
+                        input_layout=self.cfg.input_layout)
                 else:
                     step = jax.jit(functools.partial(
                         trainer_mod.train_step_from_data,
                         vertex_loss_ratio=self.cfg.vertex_loss_ratio,
                         use_motion=self.cfg.motion_model,
                         aug_cfg=self.cfg.aug_cfg, aug_hw=aug_hw,
-                        head_layout=self.cfg.head_layout))
+                        head_layout=self.cfg.head_layout,
+                        input_layout=self.cfg.input_layout))
                 self._data_steps[aug_hw] = step
             return self._data_steps[aug_hw]
         if aug_hw is not None:
@@ -148,14 +152,16 @@ class TrainLoop:
                         self.mesh, self.cfg.vertex_loss_ratio, donate=False,
                         use_motion=self.cfg.motion_model,
                         aug_cfg=self.cfg.aug_cfg, aug_hw=aug_hw,
-                        head_layout=self.cfg.head_layout)
+                        head_layout=self.cfg.head_layout,
+                        input_layout=self.cfg.input_layout)
                 else:
                     step = jax.jit(functools.partial(
                         trainer_mod.train_step,
                         vertex_loss_ratio=self.cfg.vertex_loss_ratio,
                         use_motion=self.cfg.motion_model,
                         aug_cfg=self.cfg.aug_cfg, aug_hw=aug_hw,
-                        head_layout=self.cfg.head_layout))
+                        head_layout=self.cfg.head_layout,
+                        input_layout=self.cfg.input_layout))
                 self._aug_steps[aug_hw] = step
             return self._aug_steps[aug_hw]
         if self._train_step is None:

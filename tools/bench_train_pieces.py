@@ -37,6 +37,11 @@ def main():
     ap.add_argument("--head_layout", default="NHWC",
                     choices=("NHWC", "NCHW"),
                     help="head/loss layout for fwdbwd and full pieces")
+    ap.add_argument("--input_layout", default="NHWC",
+                    choices=("NHWC", "NCHW"),
+                    help="image layout between aug and conv1 for the "
+                         "aug/fwdbwd/full pieces (NCHW = channel-major "
+                         "handoff, no [b,h,w,3] materialization)")
     args = ap.parse_args()
     pieces = set(args.pieces.split(","))
 
@@ -53,9 +58,12 @@ def main():
     b, h, w = args.batch, args.height, args.width
     cfg = TrainConfig(model_name="bench", train_batch_size=b)
     model = build_model("resnet18_8s", ver_dim=18, seg_dim=2,
-                        dtype=jnp.bfloat16, head_layout=args.head_layout)
+                        dtype=jnp.bfloat16, head_layout=args.head_layout,
+                        input_layout=args.input_layout)
     key = jax.random.PRNGKey(7)
-    state = trainer.create_train_state(model, cfg, (1, h, w, 3), key)
+    in_shape = ((1, 3, h, w) if args.input_layout == "NCHW"
+                else (1, h, w, 3))
+    state = trainer.create_train_state(model, cfg, in_shape, key)
 
     n = max(2 * b, 32)
     rng = np.random.RandomState(11)
@@ -99,7 +107,7 @@ def main():
                 data["image"][idx],
                 data["mask"][idx].astype(jnp.int32),
                 data["hcoords"][idx], jax.random.fold_in(k, 1), aug_hw,
-                cfg.aug_cfg)
+                cfg.aug_cfg, out_layout=args.input_layout)
             return (acc + 1.0 + img.mean() * 1e-6
                     + m.astype(jnp.float32).mean() * 1e-6
                     + hc.mean() * 1e-6, k)
@@ -196,7 +204,8 @@ def main():
         img0, m0, hc0 = jax.jit(lambda: augment_batch(
             data["image"][idx0].astype(jnp.float32),
             data["mask"][idx0].astype(jnp.int32),
-            data["hcoords"][idx0], key, aug_hw, cfg.aug_cfg))()
+            data["hcoords"][idx0], key, aug_hw, cfg.aug_cfg,
+            out_layout=args.input_layout))()
         vert0 = jax.jit(lambda: compute_vertex_targets(
             m0, hc0, layout=args.head_layout))()
         if args.head_layout == "NCHW":
@@ -243,7 +252,8 @@ def main():
         step = functools.partial(trainer.train_step_from_data,
                                  vertex_loss_ratio=cfg.vertex_loss_ratio,
                                  aug_cfg=cfg.aug_cfg, aug_hw=aug_hw,
-                                 head_layout=args.head_layout)
+                                 head_layout=args.head_layout,
+                                 input_layout=args.input_layout)
 
         def full_step(carry):
             st, acc = carry

@@ -79,6 +79,14 @@ def parse_args():
                         "value). NCHW runs the training loss channel-"
                         "major — the TPU-fast form (train/loss.py); "
                         "checkpoints interchange between layouts")
+    p.add_argument("--input_layout", default=None,
+                   choices=("NHWC", "NCHW"),
+                   help="image layout between the device aug and conv1 "
+                        "(default: recipe value). NCHW hands the image "
+                        "to the model channel-major — no 42x-lane-"
+                        "padded [b,h,w,3] materialization in the step "
+                        "(models/resnet.Conv). Needs --device_aug; "
+                        "checkpoints interchange")
     return p.parse_args()
 
 
@@ -111,6 +119,11 @@ def main():
         cfg.device_data = True
     if args.head_layout is not None:
         cfg.head_layout = args.head_layout
+    if args.input_layout is not None:
+        cfg.input_layout = args.input_layout
+    if cfg.input_layout == "NCHW" and not cfg.device_aug:
+        raise SystemExit("--input_layout NCHW requires --device_aug "
+                         "(the cm image is the device aug's emission)")
 
     paths = PathConfig(data_dir=args.data_dir) if args.data_dir \
         else PathConfig()
