@@ -219,6 +219,29 @@ class TestPhotometric:
             np.testing.assert_allclose(got[interior], ref[interior],
                                        rtol=1e-3, atol=0.5)
 
+    def test_color_jitter_jit_matches_eager(self):
+        """Regression: _rgb_to_hsv used to branch on ``mx == r``; XLA's
+        fusion duplication recomputes r/g/b with different fma rounding,
+        so a recomputed mx could equal NO channel and hue fell through to
+        a garbage sector (~170-level pixel errors, fusion-dependent). The
+        fixed sector selection compares channels directly, making jit and
+        eager agree to rounding error on real-valued inputs."""
+        import cv2
+        img, _, _ = make_scene()
+        smooth = cv2.GaussianBlur(img, (5, 5), 2)  # many exact channel ties
+        batch = jnp.asarray(np.stack([img, smooth]), jnp.float32)
+        cfg = AugConfig()
+        key = jax.random.PRNGKey(11)
+        eager = AD._color_jitter(batch, key, cfg)
+        jitted = jax.jit(lambda x: AD._color_jitter(x, key, cfg))(batch)
+        np.testing.assert_allclose(np.asarray(jitted), np.asarray(eager),
+                                   atol=1e-2)
+        # channel-major form agrees with NHWC under jit too
+        cm = jax.jit(lambda x: AD._color_jitter(x, key, cfg, ch_axis=1))(
+            jnp.transpose(batch, (0, 3, 1, 2)))
+        np.testing.assert_allclose(np.asarray(jnp.transpose(cm, (0, 2, 3, 1))),
+                                   np.asarray(eager), atol=1e-2)
+
     def test_hsv_roundtrip(self):
         rng = np.random.RandomState(0)
         rgb = jnp.asarray(rng.rand(32, 32, 3).astype(np.float32))
