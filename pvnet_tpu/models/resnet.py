@@ -151,7 +151,12 @@ class Conv(nn.Conv):
         if not (self.cm_input or self.cm_split):
             return super().__call__(x)
         assert not self.use_bias, "cm conv: bias unsupported"
-        import jax
+        assert self.kernel_dilation in (None, 1), \
+            "cm conv: kernel_dilation unsupported"
+        assert self.input_dilation in (None, 1), \
+            "cm conv: input_dilation unsupported"
+        assert self.feature_group_count == 1, "cm conv: groups == 1 only"
+        assert self.mask is None, "cm conv: kernel masks unsupported"
         from jax import lax
         ksz = tuple(self.kernel_size)
         strides = self.strides if self.strides is not None else 1

@@ -70,7 +70,7 @@ class TrainLoop:
             model_kw["quant_decoder"] = True
         if cfg.head_layout != "NHWC":
             model_kw["head_layout"] = cfg.head_layout
-        if getattr(cfg, "input_layout", "NHWC") != "NHWC":
+        if cfg.input_layout != "NHWC":
             model_kw["input_layout"] = cfg.input_layout
         self.model = build_model(cfg.network, ver_dim=self.vote_num * 2,
                                  seg_dim=2,

@@ -49,3 +49,16 @@ if shutil.which("make") and (shutil.which("g++") or shutil.which("cc")):
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
+
+
+# The full suite compiles hundreds of XLA-CPU programs in one process; the
+# accumulated executables have repeatedly crashed the late suite inside
+# XLA compile/cache-load native code (SIGSEGV/SIGABRT at ~70%, always in
+# the big 8-device programs — test_spatial/test_train — while the same
+# files pass standalone). Dropping the in-memory executable caches between
+# modules caps that growth; the persistent disk cache above makes any
+# re-load cheap.
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    yield
+    jax.clear_caches()
