@@ -222,12 +222,14 @@ def main():
     ap.add_argument("--no-bf16", dest="bf16", action="store_false")
     ap.add_argument("--no-train", dest="train_bench", action="store_false",
                     default=True, help="skip the training-throughput bench")
-    ap.add_argument("--train_layout", default="NHWC",
+    ap.add_argument("--train_layout", default="NCHW",
                     choices=("NHWC", "NCHW"),
                     help="training-bench layout (NCHW = channel-major "
                          "everywhere: cm aug emission + cm-input model "
                          "+ cm loss path; see train/loss.py and "
-                         "models/resnet.Conv)")
+                         "models/resnet.Conv). Default NCHW: measured "
+                         "228.9 vs 311.95 ms/step at b16 480x640 "
+                         "(tools/bench_train_pieces.py, 2026-08-20)")
     ap.add_argument("--train_batch", type=int, default=16,
                     help="training bench batch. 16 (synthetic recipe) "
                          "measured 33 imgs/s; the linemod recipe's 32 "

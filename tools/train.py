@@ -13,6 +13,7 @@ compatible with ref configs/linemod_train.json.
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 
@@ -121,6 +122,20 @@ def main():
         cfg.head_layout = args.head_layout
     if args.input_layout is not None:
         cfg.input_layout = args.input_layout
+    # Channel-major is the measured-fast training form (228.9 vs
+    # 311.95 ms/step at b16 480x640 — tools/bench_train_pieces.py):
+    # auto-select it on the device-aug path unless the CLI or the recipe
+    # JSON pinned a layout explicitly. Checkpoints interchange.
+    if cfg.device_aug and os.path.exists(args.cfg_file):
+        with open(args.cfg_file) as f:
+            _recipe_keys = set(json.load(f))
+        if args.head_layout is None and "head_layout" not in _recipe_keys:
+            cfg.head_layout = "NCHW"
+        if args.input_layout is None and "input_layout" not in _recipe_keys:
+            cfg.input_layout = "NCHW"
+        if cfg.head_layout == "NCHW" or cfg.input_layout == "NCHW":
+            print(f"[train] channel-major training layout: "
+                  f"head={cfg.head_layout} input={cfg.input_layout}")
     if cfg.input_layout == "NCHW" and not cfg.device_aug:
         raise SystemExit("--input_layout NCHW requires --device_aug "
                          "(the cm image is the device aug's emission)")
@@ -148,8 +163,15 @@ def main():
 
     buckets = None
     if args.buckets:
-        buckets = [tuple(map(int, b.split("x")))
-                   for b in args.buckets.split(",")]
+        try:
+            buckets = [tuple(map(int, b.split("x")))
+                       for b in args.buckets.split(",")]
+        except ValueError:
+            raise SystemExit(f"--buckets must be HxW[,HxW...], "
+                             f"got {args.buckets!r}")
+        if any(len(b) != 2 for b in buckets):
+            raise SystemExit(f"--buckets must be HxW[,HxW...], "
+                             f"got {args.buckets!r}")
 
     loop = TrainLoop(cfg, cls_name, paths=paths, buckets=buckets)
 
