@@ -247,6 +247,11 @@ class TrainConfig:
                                 # JPEG decode otherwise dominates the host
                                 # pipeline)
 
+    # Keys the source recipe JSON pinned (set by from_dict; class-level
+    # non-field default so bare TrainConfig() reads as "nothing pinned"
+    # and dataclasses.asdict never serializes it).
+    recipe_keys = frozenset()
+
     @classmethod
     def from_json(cls, path: str) -> "TrainConfig":
         with open(path, "r") as f:
@@ -261,7 +266,14 @@ class TrainConfig:
         kwargs = {k: v for k, v in d.items() if k in names}
         if aug is not None:
             kwargs["aug_cfg"] = AugConfig.from_dict(aug)
-        return cls(**kwargs)
+        cfg = cls(**kwargs)
+        # Which keys the recipe actually pinned — lets CLI auto-selection
+        # (tools/train.py layout defaults) distinguish "recipe chose this"
+        # from "dataclass default". Not a dataclass field: to_dict/asdict
+        # ignore it, and a bare TrainConfig() has the empty set.
+        cfg.recipe_keys = frozenset(d) | ({"aug_cfg"} if aug is not None
+                                          else frozenset())
+        return cfg
 
     def to_dict(self) -> dict:
         return dataclasses.asdict(self)

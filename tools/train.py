@@ -13,7 +13,6 @@ compatible with ref configs/linemod_train.json.
 from __future__ import annotations
 
 import argparse
-import json
 import os
 import sys
 
@@ -126,16 +125,19 @@ def main():
     # 311.95 ms/step at b16 480x640 — tools/bench_train_pieces.py):
     # auto-select it on the device-aug path unless the CLI or the recipe
     # JSON pinned a layout explicitly. Checkpoints interchange.
-    if cfg.device_aug and os.path.exists(args.cfg_file):
-        with open(args.cfg_file) as f:
-            _recipe_keys = set(json.load(f))
-        if args.head_layout is None and "head_layout" not in _recipe_keys:
+    if cfg.device_aug:
+        _auto = []
+        if args.head_layout is None and "head_layout" not in cfg.recipe_keys:
             cfg.head_layout = "NCHW"
-        if args.input_layout is None and "input_layout" not in _recipe_keys:
+            _auto.append("head")
+        if (args.input_layout is None
+                and "input_layout" not in cfg.recipe_keys):
             cfg.input_layout = "NCHW"
-        if cfg.head_layout == "NCHW" or cfg.input_layout == "NCHW":
-            print(f"[train] channel-major training layout: "
-                  f"head={cfg.head_layout} input={cfg.input_layout}")
+            _auto.append("input")
+        if _auto:
+            print(f"[train] auto-selected channel-major training layout "
+                  f"({'+'.join(_auto)}): head={cfg.head_layout} "
+                  f"input={cfg.input_layout}")
     if cfg.input_layout == "NCHW" and not cfg.device_aug:
         raise SystemExit("--input_layout NCHW requires --device_aug "
                          "(the cm image is the device aug's emission)")
@@ -169,9 +171,9 @@ def main():
         except ValueError:
             raise SystemExit(f"--buckets must be HxW[,HxW...], "
                              f"got {args.buckets!r}")
-        if any(len(b) != 2 for b in buckets):
-            raise SystemExit(f"--buckets must be HxW[,HxW...], "
-                             f"got {args.buckets!r}")
+        if any(len(b) != 2 or b[0] <= 0 or b[1] <= 0 for b in buckets):
+            raise SystemExit(f"--buckets must be HxW[,HxW...] with "
+                             f"positive dims, got {args.buckets!r}")
 
     loop = TrainLoop(cfg, cls_name, paths=paths, buckets=buckets)
 
