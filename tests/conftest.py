@@ -29,6 +29,11 @@ os.makedirs(_cache_dir, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# Child CLI processes (test_export/test_export_weights subprocess tests)
+# inherit os.environ: point their enable_compilation_cache() at the same
+# persistent dir (entries are platform-keyed, so TPU/CPU coexist) instead
+# of each child cold-compiling while the parent suite owns the core.
+os.environ.setdefault("PVNET_JAX_CACHE", _cache_dir)
 
 import shutil
 import subprocess
@@ -49,6 +54,21 @@ if shutil.which("make") and (shutil.which("g++") or shutil.which("cc")):
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
+
+
+# Subprocess-spawning tests go FIRST: their child processes need the host
+# core and a sane memory budget, and the late suite has neither (the
+# round-4 review saw test_export_cli_roundtrip hit its 900 s cap ~70%
+# through the run while passing standalone in 113 s). Running them before
+# the parent accumulates hundreds of XLA-CPU executables keeps the child's
+# compile window uncontended.
+_SUBPROCESS_MODULES = ("test_export.py", "test_export_weights.py",
+                       "test_multihost.py")
+
+
+def pytest_collection_modifyitems(session, config, items):
+    items.sort(key=lambda it: 0 if os.path.basename(
+        str(it.fspath)) in _SUBPROCESS_MODULES else 1)
 
 
 # The full suite compiles hundreds of XLA-CPU programs in one process; the
