@@ -711,7 +711,16 @@ def ransac_voting_v3_from_fg(fg: ForegroundSample, key: jax.Array,
     (voting.sample_foreground_packed)."""
     hyps = generate_hypotheses(fg, hyp_num, key)
     counts = count_inliers(fg, hyps, inlier_thresh, impl=impl)  # [b, hn, vn]
+    return vote_argmax_refine(fg, hyps, counts, inlier_thresh, min_num)
 
+
+def vote_argmax_refine(fg: ForegroundSample, hyps: jnp.ndarray,
+                       counts: jnp.ndarray, inlier_thresh: float,
+                       min_num: int = 5) -> jnp.ndarray:
+    """Final v3 stage: winner argmax over counts [b, hn, vn], gather the
+    winning hypotheses, WLS-refine over their inliers, zero below-budget
+    images (ref ransac_voting_gpu.py:571-595). Split out so the fused-path
+    stage bench can time it in isolation."""
     win_idx = jnp.argmax(counts, axis=1)                    # [b, vn]
     win_pts = jnp.take_along_axis(
         hyps, win_idx[:, None, :, None], axis=1)[:, 0]      # [b, vn, 2]
