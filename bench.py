@@ -220,6 +220,12 @@ def main():
                          "(ops/quant_conv.calibrate)")
     ap.add_argument("--bf16", action="store_true", default=True)
     ap.add_argument("--no-bf16", dest="bf16", action="store_false")
+    ap.add_argument("--vote_impl", default=None,
+                    choices=("xla", "bf16", "pallas"),
+                    help="inlier-count implementation (ops/voting."
+                         "count_inliers). None = library default; 'bf16' "
+                         "runs the compare-reduce in bfloat16 (winner "
+                         "selection only — WLS refine stays f32)")
     ap.add_argument("--no-train", dest="train_bench", action="store_false",
                     default=True, help="skip the training-throughput bench")
     ap.add_argument("--train_layout", default="NCHW",
@@ -303,6 +309,7 @@ def main():
     tail_quant = bool(args.quant and args.quant_tail)
     pipeline = make_pose_pipeline(
         model.apply, points_3d, LINEMOD_K, params=params,
+        impl=args.vote_impl,
         fused_tail=args.fused_tail, tail_depth=args.tail_depth,
         tail_quant=tail_quant, raw_uint8=args.packed_stem)
     run = jax.jit(pipeline)
@@ -356,13 +363,14 @@ def main():
 
         def vote_step(carry):
             v, k = carry
-            kp = pl_mod.keypoints_from_fields(mask, v, k, params)
+            kp = pl_mod.keypoints_from_fields(mask, v, k, params,
+                                              impl=args.vote_impl)
             return (v + (kp.mean() * 1e-6).astype(v.dtype),
                     jax.random.fold_in(k, 0))
 
         t_vote = timeit_chained(vote_step, (vertex, key), args.iters)
         kps0 = jax.jit(lambda m, v, k: pl_mod.keypoints_from_fields(
-            m, v, k, params))(mask, vertex, key)
+            m, v, k, params, impl=args.vote_impl))(mask, vertex, key)
 
         def pnp_step(kp):
             poses = pl_mod.poses_from_keypoints(
@@ -428,7 +436,7 @@ def main():
                 ai = acc.astype(jnp.int32)
                 counts_s = vt_mod.count_inliers(
                     _roll_fg(f, ai), jnp.roll(hyps_c, ai % b, axis=0),
-                    params.inlier_thresh)
+                    params.inlier_thresh, impl=args.vote_impl)
                 return (f, hyps_c, acc + 1.0 +
                         counts_s.astype(jnp.float32).mean() * 1e-6)
 
@@ -436,7 +444,8 @@ def main():
                 count_step, (fg0, hyps0, jnp.float32(1.0)), args.iters)
 
             counts0 = jax.jit(lambda f, h: vt_mod.count_inliers(
-                f, h, params.inlier_thresh))(fg0, hyps0)
+                f, h, params.inlier_thresh, impl=args.vote_impl))(
+                    fg0, hyps0)
 
             def wls_step(carry):
                 f, hyps_c, counts_c, acc = carry
@@ -487,6 +496,7 @@ def main():
         # left ~15-20% on the table; pipeline.run_fused supports it)
         unc = jax.jit(make_pose_pipeline(
             model.apply, points_3d, LINEMOD_K, params=params,
+            impl=args.vote_impl,
             uncertainty=True, fused_tail=args.fused_tail,
             tail_depth=args.tail_depth, tail_quant=tail_quant,
             raw_uint8=args.packed_stem))

@@ -607,6 +607,67 @@ def count_inliers_pallas(fg: ForegroundSample, hyps: jnp.ndarray,
     return jnp.transpose(counts, (0, 2, 1)).astype(jnp.int32)
 
 
+def count_inliers_xla_bf16(fg: ForegroundSample, hyps: jnp.ndarray,
+                           thresh: float, chunk: int = 256) -> jnp.ndarray:
+    """bf16 inlier count: same semantics as :func:`count_inliers_xla` with
+    the O(hn*vn*tn) compare-reduce in bfloat16 — f32 features use half the
+    VPU lanes, and the count is the voting stage's dominant cost.
+
+    Numerics (why this is NOT a cast of the mult-only form): the mult-only
+    features cn/c2/h2 are O(coord^2) ~ 4e5, whose bf16 ULP (~2048) destroys
+    the d2 cancellation. Instead (1) coordinates are recentered per image
+    on the foreground centroid in f32 — sub-pixel ULPs survive the cast —
+    and (2) the test runs in the difference form dot = (h-c).n,
+    d2 = |h-c|^2, whose bf16 error is ~0.4% *relative* to the ray length.
+    Per-pixel misclassification only dithers counts near the cosine
+    boundary; the winner seeds an f32 WLS refine (inliers_for_points), so
+    end metrics match f32 counting (tests/test_voting.py, envelope rows).
+    """
+    assert thresh > 0.0
+    b, hn, vn, _ = hyps.shape
+
+    valid_f = fg.valid.astype(jnp.float32)                  # [b, tn]
+    denom = jnp.maximum(jnp.sum(valid_f, axis=1, keepdims=True), 1.0)
+    ctr = (jnp.sum(fg.coords * valid_f[..., None], axis=1, keepdims=True)
+           / denom[..., None])                              # [b, 1, 2]
+    coords = (fg.coords - ctr).astype(jnp.bfloat16)         # [b, tn, 2]
+    hyps_ctr = (hyps - ctr[:, :, None, :]).astype(jnp.bfloat16)
+
+    dirs = fg.dirs.astype(jnp.bfloat16)                     # [b, tn, vn, 2]
+    nx = jnp.transpose(dirs[..., 0], (0, 2, 1))[:, None]    # [b, 1, vn, tn]
+    ny = jnp.transpose(dirs[..., 1], (0, 2, 1))[:, None]
+    n2 = nx * nx + ny * ny
+    cx = coords[..., 0][:, None, None, :]                   # [b, 1, 1, tn]
+    cy = coords[..., 1][:, None, None, :]
+    vmask = fg.valid[:, None, None, :]                      # [b, 1, 1, tn]
+    t2 = jnp.bfloat16(thresh * thresh)
+    eps2 = jnp.bfloat16(_NORM_EPS_SQ)
+
+    chunk = min(chunk, hn)
+    pad = (-hn) % chunk
+    hyps_p = jnp.pad(hyps_ctr, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    n_chunks = (hn + pad) // chunk
+    hyps_c = jnp.moveaxis(hyps_p.reshape(b, n_chunks, chunk, vn, 2), 1, 0)
+
+    def body(_, hyp_chunk):                                 # [b, c, vn, 2]
+        hx = hyp_chunk[..., 0][..., None]                   # [b, c, vn, 1]
+        hy = hyp_chunk[..., 1][..., None]
+        dx = hx - cx                                        # [b, c, vn, tn]
+        dy = hy - cy
+        dot = dx * nx + dy * ny
+        d2 = dx * dx + dy * dy
+        inl = ((dot > 0)
+               & (dot * dot > t2 * d2 * n2)
+               & (d2 > eps2)
+               & (n2 > eps2)
+               & vmask)
+        return None, jnp.sum(inl, axis=-1).astype(jnp.int32)
+
+    _, counts = jax.lax.scan(body, None, hyps_c)            # [nc, b, c, vn]
+    counts = jnp.moveaxis(counts, 0, 1).reshape(b, n_chunks * chunk, vn)
+    return counts[:, :hn]
+
+
 def count_inliers(fg: ForegroundSample, hyps: jnp.ndarray, thresh: float,
                   impl: Optional[str] = None) -> jnp.ndarray:
     """Dispatch between the XLA and Pallas implementations.
@@ -616,13 +677,17 @@ def count_inliers(fg: ForegroundSample, hyps: jnp.ndarray, thresh: float,
     kernel at every measured shape on v5e (b1..b128, tn/hn 512..4096;
     e.g. 8.9 ms vs 12.8 ms at b=128, hn=tn=1024). The Pallas kernel is kept
     as an option ('pallas', 'pallas_interpret') and stays brute-force
-    parity-tested."""
+    parity-tested. 'bf16' runs the count compare-reduce in bfloat16
+    (count_inliers_xla_bf16) — winner selection only; the WLS refine stays
+    f32 either way."""
     if impl is None:
         impl = "xla"
     if impl == "pallas":
         return count_inliers_pallas(fg, hyps, thresh)
     if impl == "pallas_interpret":
         return count_inliers_pallas(fg, hyps, thresh, interpret=True)
+    if impl == "bf16":
+        return count_inliers_xla_bf16(fg, hyps, thresh)
     return count_inliers_xla(fg, hyps, thresh)
 
 

@@ -227,6 +227,17 @@ class TestCountParity:
             fg, hyps, 0.95, tile_h=128, tile_t=32, interpret=True))
         np.testing.assert_array_equal(got, ref)
 
+    def test_bf16_counts_track_f32(self, rng):
+        """bf16 counting dithers pixels near the cosine boundary but must
+        track the f32 counts closely (winner selection is all it feeds)."""
+        fg, hyps = self._random_inputs(rng, b=2, tn=256, vn=3, hn=64)
+        ref = np.asarray(voting.count_inliers_xla(fg, hyps, 0.99))
+        got = np.asarray(voting.count_inliers_xla_bf16(fg, hyps, 0.99))
+        diff = np.abs(got - ref)
+        # per-hypothesis deviation bounded by boundary dither, not bias
+        assert diff.max() <= max(3, int(0.05 * 256)), diff.max()
+        assert abs(float((got - ref).mean())) < 1.0
+
 
 class TestVotingV3:
     def test_recovers_exact_keypoints(self):
@@ -251,6 +262,21 @@ class TestVotingV3:
             jnp.asarray(mask)[None], jnp.asarray(vertex)[None],
             jax.random.PRNGKey(0), hyp_num=64, max_num=64, impl="xla")
         np.testing.assert_allclose(np.asarray(pts), 0.0)
+
+    def test_bf16_impl_recovers_keypoints(self):
+        mask, vertex = make_field(128, 128, KPTS, BOX)
+        pts = voting.ransac_voting_v3(
+            jnp.asarray(mask)[None], jnp.asarray(vertex)[None],
+            jax.random.PRNGKey(0), hyp_num=256, max_num=256, impl="bf16")
+        np.testing.assert_allclose(np.asarray(pts[0]), KPTS, atol=0.5)
+
+    def test_bf16_impl_robust_to_outliers(self, rng):
+        mask, vertex = make_field(128, 128, KPTS, BOX, noise=0.01, rng=rng,
+                                  outlier_frac=0.3)
+        pts = voting.ransac_voting_v3(
+            jnp.asarray(mask)[None], jnp.asarray(vertex)[None],
+            jax.random.PRNGKey(0), hyp_num=512, max_num=512, impl="bf16")
+        np.testing.assert_allclose(np.asarray(pts[0]), KPTS, atol=2.0)
 
     def test_batch_mixed(self, rng):
         mask1, vertex1 = make_field(96, 96, KPTS, (30, 60, 20, 70))
