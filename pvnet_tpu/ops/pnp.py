@@ -34,6 +34,8 @@ import jax.numpy as jnp
 
 from pvnet_tpu.ops.geometry import (pose_from_Rt, rodrigues,
                                     inverse_rodrigues, solve_spd_small)
+from pvnet_tpu.ops.smalllinalg import (eigh_small, inv3x3, so3_project,
+                                       solve_small)
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -48,7 +50,7 @@ def _control_points(pts3d: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     c0 = jnp.sum(pts3d * w[:, None], axis=0) / wsum
     centered = pts3d - c0
     cov = (centered * w[:, None]).T @ centered / wsum
-    lam, vec = jnp.linalg.eigh(cov)                    # ascending
+    lam, vec = eigh_small(cov)                         # ascending
     # Floor eigenvalues relative to the cloud extent so planar / degenerate
     # configurations keep a well-conditioned 4th control point (1% of the
     # principal extent off-plane) instead of an epsilon one that blows up
@@ -64,7 +66,7 @@ def _barycentric(pts3d: jnp.ndarray, ctrl: jnp.ndarray) -> jnp.ndarray:
     C = jnp.concatenate([ctrl.T, jnp.ones((1, 4), pts3d.dtype)], axis=0)
     X = jnp.concatenate(
         [pts3d.T, jnp.ones((1, pts3d.shape[0]), pts3d.dtype)], axis=0)
-    alphas = jnp.linalg.solve(C, X)                    # [4, n]
+    alphas = solve_small(C, X)                         # [4, n]
     return alphas.T
 
 
@@ -134,10 +136,9 @@ def _procrustes(src: jnp.ndarray, dst: jnp.ndarray, w: jnp.ndarray
     mu_s = jnp.sum(src * w[:, None], axis=0) / wsum
     mu_d = jnp.sum(dst * w[:, None], axis=0) / wsum
     H = ((src - mu_s) * w[:, None]).T @ (dst - mu_d)
-    U, _, Vt = jnp.linalg.svd(H)
-    d = jnp.sign(jnp.linalg.det(Vt.T @ U.T))
-    D = jnp.diag(jnp.array([1.0, 1.0, 1.0], H.dtype)).at[2, 2].set(d)
-    R = Vt.T @ D @ U.T
+    # nearest rotation to H^T == Vt^T diag(1,1,det) U^T of H's SVD — the
+    # reflection-corrected Kabsch solution, custom-call-free
+    R = so3_project(H.T)
     t = mu_d - R @ mu_s
     return R, t
 
@@ -160,7 +161,7 @@ def _homography_init(pts3d: jnp.ndarray, pts2d: jnp.ndarray,
     c = jnp.sum(pts3d * w[:, None], axis=0) / wsum
     X0 = pts3d - c
     cov = (X0 * w[:, None]).T @ X0
-    _, evec = jnp.linalg.eigh(cov)                     # ascending
+    _, evec = eigh_small(cov)                          # ascending
     B = jnp.stack([evec[:, 2], evec[:, 1],
                    jnp.cross(evec[:, 2], evec[:, 1])], axis=1)  # [3, 3]
     uv = X0 @ B[:, :2]                                 # [n, 2] plane coords
@@ -183,7 +184,7 @@ def _homography_init(pts3d: jnp.ndarray, pts2d: jnp.ndarray,
     rv = jnp.stack([zero, zero, zero, -x, -y, -one, v * x, v * y, v], -1)
     A = jnp.concatenate([ru * jnp.sqrt(w)[:, None],
                          rv * jnp.sqrt(w)[:, None]], axis=0)   # [2n, 9]
-    _, avec = jnp.linalg.eigh(A.T @ A)
+    _, avec = eigh_small(A.T @ A)
     Hn = avec[:, 0].reshape(3, 3)
 
     # denormalize: p_img = T_i^-1 Hn T_p, with T(p) = s (p - mu)
@@ -196,7 +197,7 @@ def _homography_init(pts3d: jnp.ndarray, pts2d: jnp.ndarray,
         .at[0, 2].set(-s_p * mu_p[0]).at[1, 2].set(-s_p * mu_p[1])
     H = Ti_inv @ Hn @ Tp
 
-    M = jnp.linalg.inv(K.astype(dt)) @ H               # ~ [r1 r2 | t']
+    M = inv3x3(K.astype(dt)) @ H                       # ~ [r1 r2 | t']
     lam = 1.0 / (jnp.sqrt(jnp.sum(M[:, 0] ** 2)) + 1e-12)
     # cheirality: points must sit in front of the camera (z of t' > 0)
     lam = lam * jnp.where(M[2, 2] < 0, -1.0, 1.0)
@@ -204,10 +205,7 @@ def _homography_init(pts3d: jnp.ndarray, pts2d: jnp.ndarray,
     r2 = M[:, 1] * lam
     t_pl = M[:, 2] * lam
     P = jnp.stack([r1, r2, jnp.cross(r1, r2)], axis=1)
-    U, _, Vt = jnp.linalg.svd(P)
-    d = jnp.sign(jnp.linalg.det(U @ Vt))
-    D = jnp.diag(jnp.array([1.0, 1.0, 1.0], dt)).at[2, 2].set(d)
-    P = U @ D @ Vt                                     # camera_R_plane
+    P = so3_project(P)                                 # camera_R_plane
     R = P @ B.T
     t = t_pl - R @ c
     return pose_from_Rt(R, t)
@@ -256,21 +254,27 @@ def _epnp_impl(pts3d, pts2d, K, weights):
     M = jnp.concatenate([Mu * sw[:, None], Mv * sw[:, None]], axis=0)
 
     MtM = M.T @ M
-    _, evec = jnp.linalg.eigh(MtM)                     # ascending eigenvalues
+    _, evec = eigh_small(MtM)                          # ascending eigenvalues
     V = evec[:, :4]                                    # [12, 4] null basis
 
     dist_w = _pairwise_dists(ctrl_w)
 
-    # Case N=1 closed-form beta for each of the 4 basis vectors; start GN
-    # from the best and from a small mixed seed, keep the better result.
+    # Case N=1 closed-form beta seeds, one per null-basis vector. For
+    # n >= 6 only V[:, 0] spans the (1-dim) null space, but at n = 4/5
+    # the whole 4-dim basis is near-null and WHICH vector the
+    # eigendecomposition puts first is an arbitrary ordering within the
+    # cluster — the beta Gauss-Newton's basin depends on it (seeding only
+    # V[:, 0] was measured to lose the global minimum on 4-point
+    # instances when the eigh backend changed). Seed all four plus a
+    # mixed perturbation; the reprojection argmin below arbitrates.
     def beta_case1(k):
         vk = V[:, k].reshape(4, 3)
         dv = _pairwise_dists(vk)
         return jnp.sum(dv * dist_w) / (jnp.sum(dv * dv) + 1e-12)
 
-    b1 = beta_case1(0)
-    beta_seed1 = jnp.array([b1, 0.0, 0.0, 0.0], dt)
-    beta_seed2 = jnp.array([b1, 1e-2, 1e-2, 1e-2], dt)
+    seeds = [jnp.zeros((4,), dt).at[k].set(beta_case1(k))
+             for k in range(4)]
+    seeds.append(jnp.array([beta_case1(0), 1e-2, 1e-2, 1e-2], dt))
 
     def solve_from(beta0):
         beta = _betas_gauss_newton(V, dist_w, beta0)
@@ -296,10 +300,9 @@ def _epnp_impl(pts3d, pts2d, K, weights):
         err = project(pts3d, pose, K) - pts2d
         return jnp.sum(w * jnp.sum(err * err, axis=-1))
 
-    pose_a = solve_from(beta_seed1)
-    pose_b = solve_from(beta_seed2)
+    pose_seeds = jax.vmap(solve_from)(jnp.stack(seeds))
     pose_h = _homography_init(pts3d, pts2d, K, w)
-    cands = jnp.stack([pose_a, pose_b, pose_h])
+    cands = jnp.concatenate([pose_seeds, pose_h[None]])
     costs = jax.vmap(reproj_cost)(cands)
     costs = jnp.where(jnp.isnan(costs), jnp.inf, costs)
     return cands[jnp.argmin(costs)]

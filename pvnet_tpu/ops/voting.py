@@ -1188,7 +1188,9 @@ def ransac_voting_vanish_point(mask: jnp.ndarray, vertex: jnp.ndarray,
     nc = nx * fg.coords[:, None, :, 0] + ny * fg.coords[:, None, :, 1]
     H = jnp.stack([-nx, -ny, nc], axis=-1) * w[..., None]  # [b, vn, tn, 3]
     HtH = jnp.einsum("bvti,bvtj->bvij", H, H)
-    _, evec = jnp.linalg.eigh(HtH)
+    from pvnet_tpu.ops.smalllinalg import eigh_small
+    _, evec = jax.vmap(eigh_small)(HtH.reshape(-1, 3, 3))
+    evec = evec.reshape(HtH.shape)
     refined = evec[..., 0]                               # [b, vn, 3]
 
     # direction correction: align with the consensus pixel directions

@@ -305,7 +305,7 @@ class TrainLoop:
 
     def eval_pipeline(self, hw, batch: int, uncertainty: bool,
                       vote_params=None, tail_depth: int = 0,
-                      tail_quant: bool = False):
+                      tail_quant: bool = False, vote_impl=None):
         """Jitted forward+vote per image shape (cached).
 
         tail_depth 0 = plain full-resolution path; 1-3 route the decoder
@@ -319,7 +319,8 @@ class TrainLoop:
                                or hw[0] % 8 or hw[1] % 8):
             tail_depth = 0
         params = vote_params or pl_mod.VoteParams()
-        key = (hw, batch, uncertainty, params, tail_depth, tail_quant)
+        key = (hw, batch, uncertainty, params, tail_depth, tail_quant,
+               vote_impl)
         if key not in self._eval_forward_cache:
 
             def fwd(variables, image, rngkey):
@@ -333,21 +334,23 @@ class TrainLoop:
                     kps = voting.ransac_voting_v3_from_fg(
                         fg, k1, hyp_num=params.hyp_num,
                         inlier_thresh=params.inlier_thresh,
-                        min_num=params.min_num)
+                        min_num=params.min_num, impl=vote_impl)
                     if uncertainty:
                         _, cov = voting.estimate_voting_distribution_from_fg(
                             fg, kps, k2,
                             hyp_num=params.uncertainty_hyp_num,
-                            inlier_thresh=params.inlier_thresh)
+                            inlier_thresh=params.inlier_thresh,
+                            impl=vote_impl)
                         return kps, cov
                     return kps
                 mask, vertex = pl_mod.predict_fields(
                     self.model.apply, variables, image)
                 if uncertainty:
                     return pl_mod.keypoints_with_covariance(
-                        mask, vertex, rngkey, params)
+                        mask, vertex, rngkey, params, impl=vote_impl)
                 return pl_mod.keypoints_from_fields(mask, vertex, rngkey,
-                                                    params)
+                                                    params,
+                                                    impl=vote_impl)
 
             self._eval_forward_cache[key] = jax.jit(fwd)
         return self._eval_forward_cache[key]
@@ -377,7 +380,7 @@ class TrainLoop:
                  evaluator: Optional[Evaluator] = None,
                  save_inter_dir: Optional[str] = None,
                  vote_params=None, tail_depth: int = 0,
-                 tail_quant: bool = False):
+                 tail_quant: bool = False, vote_impl=None):
         """(ref val() :177-253) — loss metrics always; pose metrics when
         evaluate_pose."""
         import functools
@@ -405,7 +408,7 @@ class TrainLoop:
                 b, h, w = dev["mask"].shape
                 fwd = self.eval_pipeline((h, w), b, uncertainty,
                                          vote_params, tail_depth,
-                                         tail_quant)
+                                         tail_quant, vote_impl)
                 variables = {"params": state.params,
                              "batch_stats": state.batch_stats}
                 if self.quant_collection is not None:

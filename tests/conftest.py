@@ -16,15 +16,27 @@ if os.environ.get("PVNET_TEST_TPU", "0") != "1":
     # The env-var route (JAX_PLATFORMS) is overridden by the axon TPU plugin
     # in this image; the config API wins.
     jax.config.update("jax_platforms", "cpu")
+    # Child CLI processes (export/export_weights subprocess tests) must be
+    # hermetic too: without this they grab the real TPU through the tunnel
+    # — slow, and contended if anything else (a training run) holds the
+    # chip. tools/*.py honor it via utils.cache.pin_platform_from_env.
+    os.environ.setdefault("PVNET_PLATFORM", "cpu")
 
 # Persistent compilation cache for the suite: XLA-CPU compiles dominate the
 # ~35-min single-core wall time, and the long-run flaky segfault this suite
 # has seen lives INSIDE backend_compile (jax compiler.py:362) — cache hits
 # skip that code path entirely on reruns, shrinking both the wall time and
 # the crash window.
+from pvnet_tpu.utils.cache import host_fingerprint  # noqa: E402
+
+# Host-fingerprinted dir: XLA:CPU AOT cache entries are machine code not
+# keyed on the host microarchitecture (utils/cache.host_fingerprint);
+# containers sharing this home volume across heterogeneous hosts must not
+# share entries.
 _cache_dir = os.environ.get(
     "PVNET_TEST_JAX_CACHE",
-    os.path.join(os.path.expanduser("~"), ".cache", "pvnet_tpu_xla_tests"))
+    os.path.join(os.path.expanduser("~"), ".cache",
+                 "pvnet_tpu_xla_tests-" + host_fingerprint()))
 os.makedirs(_cache_dir, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

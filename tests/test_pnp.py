@@ -12,6 +12,19 @@ from pvnet_tpu.ops import pnp as pnp_mod
 from pvnet_tpu.ops import geometry as geo
 
 
+@pytest.fixture(autouse=True)
+def _clear_jax_caches_per_test():
+    # This module compiles the largest per-test XLA-CPU programs in the
+    # suite (multi-seed EPnP + multi-start LM under double vmap); on a
+    # cold persistent cache the 12th in-process compile reliably
+    # SEGFAULTS inside backend_compile (the documented accumulation
+    # crash, reproduced deterministically 2026-08-20). Dropping the
+    # in-memory executables after every test keeps the process under the
+    # threshold; the persistent disk cache makes reloads cheap.
+    yield
+    jax.clear_caches()
+
+
 def random_pose(rng, z=(0.4, 1.2)):
     w = rng.randn(3)
     w = w / np.linalg.norm(w) * rng.uniform(0, np.pi * 0.9)

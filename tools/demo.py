@@ -33,7 +33,9 @@ def main():
     p.add_argument("--output", default="demo_out.png")
     args = p.parse_args()
 
-    from pvnet_tpu.utils.cache import enable_compilation_cache
+    from pvnet_tpu.utils.cache import (enable_compilation_cache,
+                                       pin_platform_from_env)
+    pin_platform_from_env()
     enable_compilation_cache()
     import jax
     import jax.numpy as jnp

@@ -27,6 +27,16 @@ def main():
     ap.add_argument("--cls", default="duck")
     ap.add_argument("--envelopes", default="128,256,512,1024",
                     help="comma list of hyp_num=max_num settings")
+    ap.add_argument("--uncertainty", action="store_true",
+                    help="evaluate through the uncertainty-PnP path "
+                         "(covariance-weighted solver)")
+    ap.add_argument("--unc_hyp_nums", default=None,
+                    help="comma list of uncertainty_hyp_num values to "
+                         "sweep (implies --uncertainty; hyp_num/max_num "
+                         "stay at the first --envelopes entry). The "
+                         "reference sizes this at 4096 only because its "
+                         "CUDA buffers were 256-round-shaped (ref "
+                         "ransac_voting_gpu.py:333)")
     ap.add_argument("--num_threads", type=int, default=4)
     ap.add_argument("--quant", action="store_true",
                     help="int8 PTQ on backbone layer3/layer4 "
@@ -50,6 +60,11 @@ def main():
     ap.add_argument("--tail_depth", type=int, default=0,
                     choices=(0, 1, 2, 3),
                     help="packed decoder tail depth (0 = plain)")
+    ap.add_argument("--vote_impl", default=None,
+                    choices=("xla", "bf16", "pallas"),
+                    help="inlier-count implementation (ops/voting."
+                         "count_inliers); 'bf16' = half-precision "
+                         "compare-reduce, winner selection only")
     ap.add_argument("--weights", default=None,
                     help="flax msgpack weights (e.g. "
                          "assets/duck_ckpt.msgpack) instead of an orbax "
@@ -58,7 +73,9 @@ def main():
                          "generator seed)")
     args = ap.parse_args()
 
-    from pvnet_tpu.utils.cache import enable_compilation_cache
+    from pvnet_tpu.utils.cache import (enable_compilation_cache,
+                                       pin_platform_from_env)
+    pin_platform_from_env()
     enable_compilation_cache()
     from pvnet_tpu import pipeline as pl_mod
     from pvnet_tpu.config import PathConfig, TrainConfig
@@ -109,19 +126,36 @@ def main():
         loop.calibrate_quant(state, loader)
         print("calibrated static int8 scales on 2 test batches")
 
+    uncertainty = args.uncertainty or args.unc_hyp_nums is not None
+    if args.unc_hyp_nums is not None:
+        base = int(args.envelopes.split(",")[0])
+        sweeps = [(base, int(u)) for u in args.unc_hyp_nums.split(",")]
+    else:
+        sweeps = [(int(x), None) for x in args.envelopes.split(",")]
+
     rows = []
-    for n in [int(x) for x in args.envelopes.split(",")]:
-        vp = pl_mod.VoteParams(hyp_num=n, max_num=n)
+    for n, unc_n in sweeps:
+        kw = dict(hyp_num=n, max_num=n)
+        if unc_n is not None:
+            kw["uncertainty_hyp_num"] = unc_n
+        vp = pl_mod.VoteParams(**kw)
+        tag = f"env{n}" if unc_n is None else f"env{n}u{unc_n}"
         evaluator = Evaluator(loop.object_meta())
-        res = loop.validate(state, loader, epoch, prefix=f"env{n}",
+        res = loop.validate(state, loader, epoch, prefix=tag,
                             evaluate_pose=True, evaluator=evaluator,
+                            uncertainty=uncertainty,
                             vote_params=vp, tail_depth=args.tail_depth,
-                            tail_quant=args.quant and args.quant_tail)
+                            tail_quant=args.quant and args.quant_tail,
+                            vote_impl=args.vote_impl)
         rows.append({
             "hyp_num": n, "max_num": n,
-            "proj": round(res[f"env{n}/scalar/projection_error"], 4),
-            "add": round(res[f"env{n}/scalar/add"], 4),
-            "cm5deg5": round(res[f"env{n}/scalar/cm"], 4),
+            **({"uncertainty_hyp_num": unc_n} if unc_n is not None
+               else {}),
+            **({"vote_impl": args.vote_impl} if args.vote_impl else {}),
+            "uncertainty": uncertainty,
+            "proj": round(res[f"{tag}/scalar/projection_error"], 4),
+            "add": round(res[f"{tag}/scalar/add"], 4),
+            "cm5deg5": round(res[f"{tag}/scalar/cm"], 4),
         })
         print(json.dumps(rows[-1]), flush=True)
 

@@ -113,7 +113,9 @@ def main():
                          "(models/pvnet.py quant_decoder)")
     args = ap.parse_args()
 
-    from pvnet_tpu.utils.cache import enable_compilation_cache
+    from pvnet_tpu.utils.cache import (enable_compilation_cache,
+                                       pin_platform_from_env)
+    pin_platform_from_env()
     enable_compilation_cache()
     import jax
     import jax.numpy as jnp

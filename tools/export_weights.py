@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--no-bf16", dest="bf16", action="store_false")
     args = ap.parse_args()
 
+    from pvnet_tpu.utils.cache import pin_platform_from_env
+    pin_platform_from_env()
     import jax
     jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp

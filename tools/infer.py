@@ -84,7 +84,9 @@ def parse_args():
 
 def main():
     args = parse_args()
-    from pvnet_tpu.utils.cache import enable_compilation_cache
+    from pvnet_tpu.utils.cache import (enable_compilation_cache,
+                                       pin_platform_from_env)
+    pin_platform_from_env()
     enable_compilation_cache()
     import jax
     import jax.numpy as jnp

@@ -245,7 +245,9 @@ def main():
     ap.add_argument("--port", type=int, default=8400)
     ap.add_argument("--max_wait_ms", type=float, default=10.0)
     args = ap.parse_args()
-    from pvnet_tpu.utils.cache import enable_compilation_cache
+    from pvnet_tpu.utils.cache import (enable_compilation_cache,
+                                       pin_platform_from_env)
+    pin_platform_from_env()
     enable_compilation_cache()
     serve(args.export_dir, args.host, args.port, args.max_wait_ms)
     return 0

@@ -93,7 +93,9 @@ def parse_args():
 def main():
     args = parse_args()
 
-    from pvnet_tpu.utils.cache import enable_compilation_cache
+    from pvnet_tpu.utils.cache import (enable_compilation_cache,
+                                       pin_platform_from_env)
+    pin_platform_from_env()
     enable_compilation_cache()
     from pvnet_tpu.config import (OCC_LINEMOD_CLS_NAMES, PathConfig,
                                   TrainConfig)
