@@ -93,6 +93,29 @@ def test_export_static_quant_roundtrip(tmp_path):
     assert pose.shape == (1, 3, 4) and np.isfinite(np.asarray(pose)).all()
 
 
+def test_export_artifact_is_custom_call_free():
+    """Serialized pipelines must contain NO custom calls: a LAPACK
+    custom call (jnp.linalg.* on CPU) in an artifact segfaults
+    deserialize+call in any fresh XLA:CPU process (the 2026-08-20 root
+    cause of the flaky CLI-roundtrip test; ops/smalllinalg.py is the
+    custom-call-free replacement). Pure-HLO artifacts run anywhere."""
+    sys.path.insert(0, "tools")
+    from export import build_exported
+
+    rng = np.random.RandomState(3)
+    pts3d = rng.uniform(-0.05, 0.05, (9, 3)).astype(np.float32)
+    model = build_model("resnet18_8s", ver_dim=18)
+    img = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(3), img, train=False)
+    for unc in (False, True):
+        exp = build_exported(model, variables, pts3d, LINEMOD_K, 1, 32, 32,
+                             vote_params=VoteParams(hyp_num=32, max_num=32),
+                             fused_tail=True, tail_depth=3,
+                             uncertainty=unc)
+        mlir = exp.mlir_module()
+        assert "custom_call" not in mlir, "LAPACK/custom call leaked in"
+
+
 def test_export_cli_roundtrip(tmp_path):
     out = tmp_path / "exp"
     env = {"JAX_PLATFORMS": "", "PATH": "/usr/bin:/bin:/usr/local/bin"}
