@@ -545,11 +545,15 @@ class TrainLoop:
                        and epoch >= self.cfg.eval_epoch_begin)
             do_val = (do_eval or epoch % self.cfg.val_inter == 0
                       or epoch == end_epoch - 1)
+            # save BEFORE the val pass: a val-time interruption (the axon
+            # tunnel's per-client hang strikes mid-val in practice) must
+            # not lose a completed training epoch — resume restarts from
+            # the epoch after the last saved one.
+            save_model(state, epoch, self.model_dir,
+                       keep=self.cfg.checkpoint_keep)
             if do_val:
                 evaluator = Evaluator(self.object_meta()) if do_eval \
                     else None
                 self.validate(state, val_loader, epoch,
                               evaluate_pose=do_eval, evaluator=evaluator)
-            save_model(state, epoch, self.model_dir,
-                       keep=self.cfg.checkpoint_keep)
         return state
