@@ -226,6 +226,13 @@ def main():
                          "count_inliers). None = library default; 'bf16' "
                          "runs the compare-reduce in bfloat16 (winner "
                          "selection only — WLS refine stays f32)")
+    ap.add_argument("--unc_hyp_num", type=int, default=None,
+                    help="uncertainty-PnP covariance hypothesis budget "
+                         "(VoteParams.uncertainty_hyp_num, default 4096 = "
+                         "the reference's CUDA-buffer-shaped round count, "
+                         "ref ransac_voting_gpu.py:333); pair with "
+                         "tools/envelope_study.py --unc_hyp_nums for the "
+                         "accuracy side of the sweep")
     ap.add_argument("--no-train", dest="train_bench", action="store_false",
                     default=True, help="skip the training-throughput bench")
     ap.add_argument("--train_layout", default="NCHW",
@@ -306,6 +313,8 @@ def main():
         "/root/reference/data/demo/cat_points_3d.txt").astype(np.float32)
 
     params = VoteParams()   # production envelope (see VoteParams doc)
+    if args.unc_hyp_num is not None:
+        params = params._replace(uncertainty_hyp_num=args.unc_hyp_num)
     tail_quant = bool(args.quant and args.quant_tail)
     pipeline = make_pose_pipeline(
         model.apply, points_3d, LINEMOD_K, params=params,
