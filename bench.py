@@ -102,8 +102,9 @@ def bench_train_step(batch: int, h: int, w: int, iters: int,
     augmentation, vertex-target generation, forward+backward+Adam — timed
     with the chained harness. Mirrors the reference's training envelope
     (200 epochs, ref tools/train_linemod.py train()); the reference trains
-    at batch 32 on 12 GB GPUs, but full-res 480x640 with Adam state OOMs a
-    16 GB chip above ~16, so the default matches the synthetic recipe.
+    at batch 32 on 12 GB GPUs. On the channel-major layout full-res
+    480x640 fits to at least b64 on a 16 GB chip; per-image throughput
+    plateaus at b32-48 (knee sweep 2026-08-20, see --train_batch help).
 
     Returns (sec/step, aug_hw, batch)."""
     import functools
@@ -243,15 +244,35 @@ def main():
                          "models/resnet.Conv). Default NCHW: measured "
                          "228.9 vs 311.95 ms/step at b16 480x640 "
                          "(tools/bench_train_pieces.py, 2026-08-20)")
-    ap.add_argument("--train_batch", type=int, default=16,
-                    help="training bench batch. 16 (synthetic recipe) "
-                         "measured 33 imgs/s; the linemod recipe's 32 "
-                         "fits HBM but is SLOWER at full-res (25.2 "
-                         "imgs/s — measured, not assumed)")
+    ap.add_argument("--train_batch", type=int, default=32,
+                    help="training bench batch. 2026-08-20 knee sweep "
+                         "(cm layout, isolated subprocess, 2 runs): b16 "
+                         "38-42, b32 50-62, b48 58, b64 57 imgs/s — "
+                         "throughput plateaus at b32-48 and b64 still "
+                         "fits HBM. Default 32 = the reference recipe "
+                         "batch (configs/linemod_train.json). The older "
+                         "'b32 slower (25.2)' reading predated the "
+                         "channel-major layout")
+    ap.add_argument("--train_only", action="store_true",
+                    help="internal: run ONLY the training bench and print "
+                         "its JSON fragment (spawned as a subprocess by "
+                         "the full bench for an isolated measurement)")
     args = ap.parse_args()
 
     if args.prepacked and not args.packed_stem:
         ap.error("--prepacked requires --packed_stem")
+
+    if args.train_only:
+        from pvnet_tpu.utils.cache import enable_compilation_cache
+        enable_compilation_cache()
+        t_step, thw, tb = bench_train_step(args.train_batch, args.height,
+                                           args.width, max(args.iters, 4),
+                                           head_layout=args.train_layout,
+                                           input_layout=args.train_layout)
+        print(json.dumps({"train_steps_per_sec": round(1.0 / t_step, 3),
+                          "train_imgs_per_sec": round(tb / t_step, 2),
+                          "train_batch": tb, "train_hw": list(thw)}))
+        return 0
 
     if args.quick:
         args.batch, args.height, args.width, args.iters = 2, 128, 128, 3
@@ -530,15 +551,26 @@ def main():
         record["uncertainty_poses_per_sec"] = round(b / t_unc, 2)
 
     if args.train_bench:
-        # NCHW = channel-major everywhere (head/loss AND image input)
-        t_step, thw, tb = bench_train_step(args.train_batch, args.height,
-                                           args.width, max(args.iters, 4),
-                                           head_layout=args.train_layout,
-                                           input_layout=args.train_layout)
-        record["train_steps_per_sec"] = round(1.0 / t_step, 3)
-        record["train_imgs_per_sec"] = round(tb / t_step, 2)
-        record["train_batch"] = tb
-        record["train_hw"] = list(thw)
+        # Run the training bench in a SUBPROCESS: measured in-process
+        # after the inference stages it reads 2.33 steps/s vs 3.38 in a
+        # fresh process (b16 480x640, 2026-08-20) — and deleting every
+        # big local + gc.collect() does NOT recover it, so the
+        # contamination lives below the Python layer (client/tunnel
+        # state, not HBM). Isolation is the honest measurement.
+        import subprocess
+        cmd = [sys.executable, os.path.abspath(__file__), "--train_only",
+               "--train_batch", str(args.train_batch),
+               "--train_layout", args.train_layout,
+               "--height", str(args.height), "--width", str(args.width),
+               "--iters", str(args.iters)]
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=1800)
+        frag = [ln for ln in out.stdout.splitlines()
+                if ln.startswith("{")]
+        if frag:
+            record.update(json.loads(frag[-1]))
+        else:
+            record["train_bench_error"] = out.stderr[-400:]
 
     print(json.dumps(record))
     return 0

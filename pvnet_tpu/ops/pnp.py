@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 from pvnet_tpu.ops.geometry import (pose_from_Rt, rodrigues,
                                     inverse_rodrigues, solve_spd_small)
-from pvnet_tpu.ops.smalllinalg import (eigh_small, inv3x3, so3_project,
+from pvnet_tpu.ops.smalllinalg import (eigh_auto, inv3x3, so3_project,
                                        solve_small)
 
 _HIGHEST = jax.lax.Precision.HIGHEST
@@ -50,7 +50,7 @@ def _control_points(pts3d: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     c0 = jnp.sum(pts3d * w[:, None], axis=0) / wsum
     centered = pts3d - c0
     cov = (centered * w[:, None]).T @ centered / wsum
-    lam, vec = eigh_small(cov)                         # ascending
+    lam, vec = eigh_auto(cov)                         # ascending
     # Floor eigenvalues relative to the cloud extent so planar / degenerate
     # configurations keep a well-conditioned 4th control point (1% of the
     # principal extent off-plane) instead of an epsilon one that blows up
@@ -161,7 +161,7 @@ def _homography_init(pts3d: jnp.ndarray, pts2d: jnp.ndarray,
     c = jnp.sum(pts3d * w[:, None], axis=0) / wsum
     X0 = pts3d - c
     cov = (X0 * w[:, None]).T @ X0
-    _, evec = eigh_small(cov)                          # ascending
+    _, evec = eigh_auto(cov)                          # ascending
     B = jnp.stack([evec[:, 2], evec[:, 1],
                    jnp.cross(evec[:, 2], evec[:, 1])], axis=1)  # [3, 3]
     uv = X0 @ B[:, :2]                                 # [n, 2] plane coords
@@ -184,7 +184,7 @@ def _homography_init(pts3d: jnp.ndarray, pts2d: jnp.ndarray,
     rv = jnp.stack([zero, zero, zero, -x, -y, -one, v * x, v * y, v], -1)
     A = jnp.concatenate([ru * jnp.sqrt(w)[:, None],
                          rv * jnp.sqrt(w)[:, None]], axis=0)   # [2n, 9]
-    _, avec = eigh_small(A.T @ A)
+    _, avec = eigh_auto(A.T @ A)
     Hn = avec[:, 0].reshape(3, 3)
 
     # denormalize: p_img = T_i^-1 Hn T_p, with T(p) = s (p - mu)
@@ -254,7 +254,7 @@ def _epnp_impl(pts3d, pts2d, K, weights):
     M = jnp.concatenate([Mu * sw[:, None], Mv * sw[:, None]], axis=0)
 
     MtM = M.T @ M
-    _, evec = eigh_small(MtM)                          # ascending eigenvalues
+    _, evec = eigh_auto(MtM)                          # ascending eigenvalues
     V = evec[:, :4]                                    # [12, 4] null basis
 
     dist_w = _pairwise_dists(ctrl_w)

@@ -88,6 +88,24 @@ def eigh_small(A: jnp.ndarray, sweeps: int | None = None
     return lam[order], V[:, order]
 
 
+def eigh_auto(A: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """``jnp.linalg.eigh`` on TPU, :func:`eigh_small` elsewhere.
+
+    TPU lowers eigh to pure HLO — no custom call, artifact-safe, and
+    measurably faster than the matmul-form Jacobi chain (the all-Jacobi
+    PnP regressed the b128 pose-path PnP stage 8.6 -> 23.3 ms on v5e).
+    XLA:CPU lowers it to a LAPACK custom call, which both crashes
+    deserialized ``jax.export`` artifacts (module docstring) and is what
+    the CPU-pinned export CLI must avoid — so CPU tracing keeps the
+    Jacobi path. Dispatch is trace-time via ``jax.default_backend()``:
+    correct for every in-repo flow (CPU work is always process-pinned via
+    PVNET_PLATFORM / jax_platforms), wrong only for a hand-built CPU jit
+    inside a TPU-default process, which no tool does."""
+    if jax.default_backend() == "tpu":
+        return jnp.linalg.eigh(A)
+    return eigh_small(A)
+
+
 def solve_small(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     """Solve A X = B for a small square A [n, n], B [n] or [n, m], by
     unrolled Gaussian elimination with partial pivoting (no LAPACK LU
@@ -143,7 +161,10 @@ def so3_project(M: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     vectors come from M v / s with Gram-Schmidt, and the weakest pair is
     completed with cross products, which bakes in the det correction
     (u1xu2 pairs with v1xv2 regardless of M's handedness)."""
-    lam, V = eigh_small(M.T @ M)                        # ascending
+    lam, V = eigh_small(M.T @ M)                        # ascending: the
+    # 3x3 Jacobi (6 sweeps of 3 rotations) beats jnp.linalg.eigh here on
+    # TPU too — 11.8 vs 12.8 ms b128 PnP stage (generic eigh pays its
+    # QR-iteration scaffolding; measured 2026-08-20)
     v1, v2 = V[:, 1], V[:, 2]
     u2 = M @ v2
     u2 = u2 / jnp.sqrt(jnp.sum(u2 * u2) + eps)
