@@ -108,7 +108,10 @@ def main():
                                        jnp.asarray(pose_gt[:, :3])))
     trans = float(jnp.linalg.norm(pose_pred[:, 3]
                                   - jnp.asarray(pose_gt[:, 3]))) * 100
-    print(f"pose error: {ang:.3f} deg, {trans:.3f} cm")
+    corner_px = float(np.linalg.norm(corners_pred - corners_gt,
+                                     axis=-1).mean())
+    print(f"pose error: {ang:.3f} deg, {trans:.3f} cm, "
+          f"bb8 corner error {corner_px:.1f} px")
     out = visualize_bounding_box(rgb, corners_pred, corners_gt,
                                  save_path=args.output)
     print(f"wrote {out} (blue = predicted, green = ground truth)")
