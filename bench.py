@@ -221,19 +221,26 @@ def main():
                          "(ops/quant_conv.calibrate)")
     ap.add_argument("--bf16", action="store_true", default=True)
     ap.add_argument("--no-bf16", dest="bf16", action="store_false")
-    ap.add_argument("--vote_impl", default=None,
+    ap.add_argument("--vote_impl", default="bf16",
                     choices=("xla", "bf16", "pallas"),
                     help="inlier-count implementation (ops/voting."
-                         "count_inliers). None = library default; 'bf16' "
-                         "runs the compare-reduce in bfloat16 (winner "
-                         "selection only — WLS refine stays f32)")
+                         "count_inliers). 'bf16' (default) runs the "
+                         "compare-reduce in bfloat16 — winner selection "
+                         "only, WLS refine stays f32; accuracy-neutral on "
+                         "the occluded split (studies/envelope.md) and "
+                         "never slower across a 3x alternating A/B "
+                         "(763-781 vs 703-778 poses/s, 2026-08-20). The "
+                         "library default stays 'xla' (exact-parity f32) "
+                         "for the v2-v6 layers and CPU tests")
     ap.add_argument("--unc_hyp_num", type=int, default=None,
                     help="uncertainty-PnP covariance hypothesis budget "
-                         "(VoteParams.uncertainty_hyp_num, default 4096 = "
-                         "the reference's CUDA-buffer-shaped round count, "
-                         "ref ransac_voting_gpu.py:333); pair with "
+                         "(VoteParams.uncertainty_hyp_num; default 1024 "
+                         "after the 2026-08-20 sweep — accuracy flat "
+                         "1024..4096, throughput 762 vs 701 poses/s; the "
+                         "reference's 4096 was CUDA-buffer-shaped, ref "
+                         "ransac_voting_gpu.py:333); pair with "
                          "tools/envelope_study.py --unc_hyp_nums for the "
-                         "accuracy side of the sweep")
+                         "accuracy side")
     ap.add_argument("--no-train", dest="train_bench", action="store_false",
                     default=True, help="skip the training-throughput bench")
     ap.add_argument("--train_layout", default="NCHW",

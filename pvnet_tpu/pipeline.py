@@ -44,7 +44,13 @@ class VoteParams(NamedTuple):
     inlier_thresh: float = 0.99
     max_num: int = 512
     min_num: int = 5
-    uncertainty_hyp_num: int = 4096
+    # Covariance budget for the uncertainty solver. The reference uses
+    # >=4096 only because its CUDA buffers ran 256-hypothesis rounds (ref
+    # ransac_voting_gpu.py:333); a trained-checkpoint sweep on the
+    # occluded split (studies/envelope.md, 2026-08-20) measured identical
+    # metrics at 1024/2048/4096 (proj 66.8/66.7/67.0, ADD 58.2/58.2/57.9)
+    # while 1024 runs the uncertainty pipeline at 762 vs 701 poses/s.
+    uncertainty_hyp_num: int = 1024
 
 
 def normalize_packed_u8(image_u8: jnp.ndarray,
