@@ -179,8 +179,10 @@ def mask_out_instance(img, mask, min_side, max_side, rng):
     return img, mask
 
 
-def blur_image(img, sigma, rng=None):
-    """(ref augmentation.py:204-205)"""
+def blur_image(img, sigma):
+    """Gaussian blur with a sigma-sized kernel (ref augmentation.py:204-205
+    — the reference's blur is deterministic given the kernel size; the
+    caller randomizes sigma, see dataset.py)."""
     return cv2.GaussianBlur(img, (sigma, sigma), 0)
 
 
